@@ -1,0 +1,17 @@
+"""compv-tpu: a TPU-native computer-vision / SLAM framework.
+
+Brand-new JAX/XLA/Pallas implementation with the capability surface of the
+reference CPU/SIMD library tidehc/compv (image pipeline, FAST/ORB features,
+matching, geometry/calibration, CCL/Hough/HOG/MSER, ML utilities) plus the
+distributed SLAM layer (windowed BA, pose graph, multi-chip sharding) the
+reference lacks.
+"""
+
+__version__ = "0.1.0"
+
+from .core import (  # noqa: F401
+    Image, PixelFormat, Points, Descriptors, Matches,
+    FastConfig, FastType, OrbConfig, CannyConfig, MatchConfig, RansacConfig,
+    HoughConfig, HogConfig, BAConfig, Interp, BorderMode,
+)
+from . import ops  # noqa: F401

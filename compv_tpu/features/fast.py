@@ -1,0 +1,153 @@
+"""FAST-9/12 corner detector, TPU-native formulation.
+
+Re-design of core/features/fast/compv_core_feature_fast_dete.cxx (:103-868,
+plus ~3.4k LoC of SSE2/AVX2/NEON asm). The reference's per-pixel branchy
+segment test becomes a dense, branch-free tensor program:
+
+  1. Gather the 16 Bresenham-circle neighbors as 16 shifted image planes
+     (offsets as in fast_dete.cxx:221-238).
+  2. db = relu(circle - (p + t)), dd = relu((p - t) - circle)  [saturated u8]
+  3. strength(p) = max over the 16 cyclic arc starts s of
+         min_{k < N} diff[(s + k) mod 16]
+     computed with a log2(N) cyclic min-reduction over the 16-plane stack.
+     This is *exactly* the reference's strength (fast_dete.cxx:708-716:
+     max over valid arcs of min over arc), because an arc with any
+     non-positive diff contributes min 0 — validity is implicit.
+  4. NMS: suppress pixels whose 8-neighborhood contains a strength >= own
+     (fast_dete.cxx:773-815), restricted to the interior [3, dim-3).
+  5. Corner list: lax.top_k over the flattened strengths map replaces the
+     reference's nth_element selectBest.
+
+Whole-frame cost: ~16·(2 + log2 N) VPU ops over the image — one HBM pass
+after XLA fusion; no data-dependent control flow.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import FastConfig, FastType
+from ..core.registry import register
+from ..core.types import Points
+
+# Bresenham circle radius 3, clockwise from 12 o'clock; (dx, dy) pairs in the
+# reference's pixels16 order (fast_dete.cxx:221-238, stride*dy + dx).
+CIRCLE = (
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+)
+
+
+def _circle_stack(img: jax.Array) -> jax.Array:
+    """(16, H, W) stack of circle-neighbor values (zero-padded borders; the
+    3-px frame is masked out of the result anyway)."""
+    h, w = img.shape
+    pad = jnp.pad(img, 3)
+    planes = [jax.lax.dynamic_slice(pad, (3 + dy, 3 + dx), (h, w))
+              for dx, dy in CIRCLE]
+    return jnp.stack(planes)
+
+
+def _cyclic_min_windows(diff: jax.Array, n: int) -> jax.Array:
+    """M[s] = min(diff[s], ..., diff[(s+n-1) % 16]) along axis 0 (size 16),
+    via a log-step rolling min: O(log n) VPU passes instead of 16*n."""
+    m = diff
+    span = 1
+    while span * 2 <= n:
+        m = jnp.minimum(m, jnp.roll(m, -span, axis=0))
+        span *= 2
+    if span < n:
+        # cover the remaining n - span elements with one overlapping step
+        m = jnp.minimum(m, jnp.roll(m, -(n - span), axis=0))
+    return m
+
+
+def fast_strengths(img: jax.Array, threshold: int = 20,
+                   n: int = 9) -> jax.Array:
+    """(H, W) uint8 strengths map, bit-exact vs the reference scalar kernel
+    CompVFastDataRow_C (fast_dete.cxx:658-770)."""
+    assert n in (9, 12)
+    p = img.astype(jnp.int16)
+    brighter = jnp.minimum(p + threshold, 255)
+    darker = jnp.maximum(p - threshold, 0)
+    circle = _circle_stack(img).astype(jnp.int16)
+    db = jnp.maximum(circle - brighter[None], 0).astype(jnp.uint8)
+    dd = jnp.maximum(darker[None] - circle, 0).astype(jnp.uint8)
+    sb = jnp.max(_cyclic_min_windows(db, n), axis=0)
+    sd = jnp.max(_cyclic_min_windows(dd, n), axis=0)
+    strengths = jnp.maximum(sb, sd)
+    # 3-px frame carries no valid segment test (reference computes rows
+    # [3, h-3) only).
+    h, w = img.shape
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    return jnp.where(interior, strengths, 0)
+
+
+def fast_nms(strengths: jax.Array) -> jax.Array:
+    """Suppress non-maxima: zero any pixel whose 8-neighborhood has a
+    strength >= its own (ties suppress, fast_dete.cxx:773-815). Applied to
+    the interior [3, dim-3) like the reference."""
+    h, w = strengths.shape
+    s = strengths.astype(jnp.int16)
+    pad = jnp.pad(s, 1)
+    neigh = [jax.lax.dynamic_slice(pad, (1 + dy, 1 + dx), (h, w))
+             for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)]
+    nmax = functools.reduce(jnp.maximum, neigh)
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    interior = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    keep = (s > 0) & (nmax < s)
+    return jnp.where(interior, jnp.where(keep, strengths, 0), strengths)
+
+
+def strengths_to_points(strengths: jax.Array, max_features: int,
+                        level: int = 0, size: float = 7.0) -> Points:
+    """Extract the top-k strongest pixels into a padded Points set.
+
+    Replaces the reference's build-interest-points + selectBest
+    (fast_dete.cxx:418, CompVInterestPoint::selectBest) with one
+    lax.top_k over the flattened map — deterministic, no host sync.
+    """
+    h, w = strengths.shape
+    flat = strengths.reshape(-1).astype(jnp.float32)
+    k = min(max_features, h * w)  # small images: can't select more than H*W
+    vals, idx = jax.lax.top_k(flat, k)
+    if k < max_features:
+        vals = jnp.pad(vals, (0, max_features - k))
+        idx = jnp.pad(idx, (0, max_features - k))
+    valid = vals > 0
+    xs = (idx % w).astype(jnp.float32)
+    ys = (idx // w).astype(jnp.float32)
+    return Points(
+        xy=jnp.stack([xs, ys], axis=1),
+        strength=jnp.where(valid, vals, -jnp.inf),
+        angle=jnp.zeros((max_features,), jnp.float32),
+        level=jnp.full((max_features,), level, jnp.int32),
+        size=jnp.full((max_features,), size, jnp.float32),
+        count=jnp.sum(valid).astype(jnp.int32),
+    )
+
+
+@register("corner_detector", "fast")
+def make_fast(config: FastConfig = FastConfig()):
+    """Factory (reference COMPV_FAST_ID): returns a jit-able detect fn."""
+
+    def detect(img: jax.Array) -> Points:
+        return fast_detect(img, config)
+
+    return detect
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def fast_detect(img: jax.Array, config: FastConfig = FastConfig()) -> Points:
+    """Full FAST pipeline: strengths -> optional NMS -> top-k points."""
+    n = 9 if config.fast_type == FastType.FAST9 else 12
+    s = fast_strengths(img, config.threshold, n)
+    if config.nonmax_suppression:
+        s = fast_nms(s)
+    return strengths_to_points(s, config.max_features)

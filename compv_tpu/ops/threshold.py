@@ -1,0 +1,54 @@
+"""Thresholding: Otsu, global binary, adaptive mean-C.
+
+Re-design of base/image/compv_image_threshold.cxx (Otsu :52, global :118,
+adaptive :184-201). Otsu's argmax over inter-class variance is a 256-wide
+vector op — trivially VPU-shaped; adaptive is a box convolution + compare.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .histogram import histogram256
+from .convolve import conv_separable
+from ..core.config import BorderMode
+
+
+def otsu_threshold(img: jax.Array):
+    """Return (threshold:int32, binary image uint8{0,255}).
+
+    Maximizes inter-class variance over the 256-bin histogram, identical
+    formulation to the reference (compv_image_threshold.cxx:52-116).
+    """
+    hist = histogram256(img).astype(jnp.float32)
+    total = jnp.sum(hist)
+    bins = jnp.arange(256, dtype=jnp.float32)
+    w0 = jnp.cumsum(hist)                      # class-0 weight per threshold
+    sum0 = jnp.cumsum(hist * bins)
+    sum_all = sum0[-1]
+    w1 = total - w0
+    mu0 = sum0 / jnp.where(w0 == 0, 1.0, w0)
+    mu1 = (sum_all - sum0) / jnp.where(w1 == 0, 1.0, w1)
+    between = w0 * w1 * (mu0 - mu1) ** 2
+    between = jnp.where((w0 == 0) | (w1 == 0), -1.0, between)
+    t = jnp.argmax(between).astype(jnp.int32)
+    return t, threshold_global(img, t)
+
+
+def threshold_global(img: jax.Array, thresh) -> jax.Array:
+    """Binary threshold: out = 255 if pixel > thresh else 0."""
+    return jnp.where(img.astype(jnp.int32) > jnp.asarray(thresh, jnp.int32),
+                     jnp.uint8(255), jnp.uint8(0))
+
+
+def threshold_adaptive(img: jax.Array, block_size: int = 5, c: float = 8.0,
+                       max_val: int = 255, invert: bool = False) -> jax.Array:
+    """Adaptive mean-C threshold via separable box kernel (reference
+    compv_image_threshold.cxx:184-201 builds a normalized box kernel and
+    convolves, then compares pixel > mean - C)."""
+    k = jnp.full((block_size,), 1.0 / block_size, jnp.float32)
+    mean = conv_separable(img, k, k, border=BorderMode.REPLICATE)
+    cmp = img.astype(jnp.float32) > (mean - c)
+    if invert:
+        cmp = ~cmp
+    return jnp.where(cmp, jnp.uint8(max_val), jnp.uint8(0))

@@ -1,0 +1,179 @@
+"""Image-pipeline op tests vs NumPy oracles (the reference's golden-value
+strategy, unittests/main.cxx, adapted per SURVEY §4)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from compv_tpu.ops import color, convolve, histogram, morphology, remap, resize, threshold
+from compv_tpu.core.config import BorderMode, Interp
+from tests.reference import ref_ops
+
+
+class TestColor:
+    def test_rgb_to_gray_exact(self, rgb_image):
+        ours = np.asarray(color.rgb_to_gray(jnp.asarray(rgb_image)))
+        ref = ref_ops.rgb_to_gray(rgb_image)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_gray_roundtrip_formats(self, rgb_image):
+        g1 = np.asarray(color.bgr_to_gray(jnp.asarray(rgb_image[..., ::-1])))
+        g2 = ref_ops.rgb_to_gray(rgb_image)
+        np.testing.assert_array_equal(g1, g2)
+
+    def test_yuv420_roundtrip(self, rgb_image):
+        y, u, v = color.rgb_to_yuv420(jnp.asarray(rgb_image))
+        assert y.shape == rgb_image.shape[:2]
+        assert u.shape == (rgb_image.shape[0] // 2, rgb_image.shape[1] // 2)
+        back = np.asarray(color.yuv420_to_rgb(y, u, v)).astype(np.int32)
+        # Studio-swing quantization + chroma subsampling: loose bound.
+        err = np.abs(back - rgb_image.astype(np.int32))
+        assert np.median(err) <= 40
+
+    def test_hsv_roundtrip(self, rgb_image):
+        hsv = color.rgb_to_hsv(jnp.asarray(rgb_image))
+        back = np.asarray(color.hsv_to_rgb(hsv)).astype(np.int32)
+        err = np.abs(back - rgb_image.astype(np.int32))
+        assert np.percentile(err, 90) <= 12
+
+    def test_split_merge(self, rgb_image):
+        planes = color.split_channels(jnp.asarray(rgb_image))
+        merged = np.asarray(color.merge_channels(*planes))
+        np.testing.assert_array_equal(merged, rgb_image)
+
+
+class TestConvolve:
+    def test_conv2d_matches_oracle(self, gray_image):
+        k = np.outer([1, 2, 1], [1, 2, 1]).astype(np.float32) / 16.0
+        ours = np.asarray(convolve.conv2d(jnp.asarray(gray_image), jnp.asarray(k)))
+        ref = ref_ops.conv2d(gray_image, k)
+        np.testing.assert_allclose(ours, ref, atol=1e-2)
+
+    def test_separable_equals_dense(self, gray_image):
+        kx = np.array([0.25, 0.5, 0.25], np.float32)
+        ky = np.array([0.1, 0.8, 0.1], np.float32)
+        dense = np.asarray(convolve.conv2d(jnp.asarray(gray_image),
+                                           jnp.asarray(np.outer(ky, kx))))
+        sep = np.asarray(convolve.conv_separable(jnp.asarray(gray_image),
+                                                 jnp.asarray(kx), jnp.asarray(ky)))
+        np.testing.assert_allclose(sep, dense, atol=1e-2)
+
+    def test_gaussian_blur_preserves_mean(self, gray_image):
+        out = np.asarray(convolve.gaussian_blur(jnp.asarray(gray_image), 5, 2.0,
+                                                border=BorderMode.REPLICATE))
+        assert abs(float(out.mean()) - float(gray_image.mean())) < 2.0
+
+    def test_sobel_gradients(self, gray_image):
+        gx, gy = convolve.gradients(jnp.asarray(gray_image), "sobel")
+        # vertical edge image: gx strong, gy ~ 0
+        edge = np.zeros((32, 32), np.uint8)
+        edge[:, 16:] = 255
+        gx2, gy2 = convolve.gradients(jnp.asarray(edge), "sobel")
+        assert float(jnp.abs(gx2).max()) > 500
+        assert float(jnp.abs(gy2[4:-4, 4:-4]).max()) == 0.0
+
+    def test_gradient_fast(self):
+        img = np.arange(100, dtype=np.uint8).reshape(10, 10)
+        gx, gy = convolve.gradient_fast(jnp.asarray(img))
+        assert float(gx[5, 5]) == 2.0   # I[x+1]-I[x-1] on a unit ramp
+        assert float(gy[5, 5]) == 20.0
+
+
+class TestResize:
+    def test_bilinear_u8_exact(self, gray_image):
+        out_h, out_w = 133, 197  # awkward sizes on purpose
+        ours = np.asarray(resize.resize_bilinear_u8(jnp.asarray(gray_image), out_h, out_w))
+        ref = ref_ops.resize_bilinear_u8(gray_image, out_h, out_w)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_bicubic_identity(self, gray_image):
+        out = np.asarray(resize.resize_bicubic(jnp.asarray(gray_image),
+                                               *gray_image.shape))
+        np.testing.assert_allclose(out.astype(np.int32), gray_image.astype(np.int32),
+                                   atol=1)
+
+    def test_pyramid_shapes(self, gray_image):
+        pyr = resize.build_pyramid(jnp.asarray(gray_image), 8, 0.83)
+        assert len(pyr) == 8
+        assert pyr[0].shape == gray_image.shape
+        for lv in range(1, 8):
+            exp_h = max(1, int(gray_image.shape[0] * 0.83 ** lv))
+            assert pyr[lv].shape[0] == exp_h
+
+
+class TestThresholdHistogram:
+    def test_otsu_matches_oracle(self, gray_image):
+        t, binary = threshold.otsu_threshold(jnp.asarray(gray_image))
+        assert int(t) == ref_ops.otsu(gray_image)
+        assert set(np.unique(np.asarray(binary))) <= {0, 255}
+
+    def test_histogram_exact(self, gray_image):
+        ours = np.asarray(histogram.histogram256(jnp.asarray(gray_image)))
+        ref = np.bincount(gray_image.reshape(-1), minlength=256)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_equalize_flattens(self, gray_image):
+        eq = np.asarray(histogram.equalize(jnp.asarray(gray_image)))
+        assert eq.std() >= gray_image.std() * 0.95
+
+    def test_adaptive_threshold(self, gray_image):
+        out = np.asarray(threshold.threshold_adaptive(jnp.asarray(gray_image), 5, 8.0))
+        assert set(np.unique(out)) <= {0, 255}
+
+    def test_projections(self, gray_image):
+        px = np.asarray(histogram.projection_x(jnp.asarray(gray_image)))
+        np.testing.assert_array_equal(px, gray_image.astype(np.int64).sum(0))
+
+
+class TestMorphology:
+    def test_erode_dilate_duality(self, gray_image):
+        se = morphology.structuring_element("cross", 3, 3)
+        binary = (gray_image > 127).astype(np.uint8) * 255
+        er = np.asarray(morphology.erode(jnp.asarray(binary), se))
+        di = np.asarray(morphology.dilate(jnp.asarray(binary), se))
+        assert (er <= binary).all() and (di >= binary).all()
+
+    def test_erode_oracle(self):
+        img = np.zeros((9, 9), np.uint8)
+        img[3:6, 3:6] = 255
+        se = morphology.structuring_element("rect", 3, 3)
+        er = np.asarray(morphology.erode(jnp.asarray(img), se))
+        exp = np.zeros((9, 9), np.uint8)
+        exp[4, 4] = 255
+        np.testing.assert_array_equal(er, exp)
+
+    def test_open_close(self, gray_image):
+        se = morphology.structuring_element("ellipse", 3, 3)
+        binary = (gray_image > 127).astype(np.uint8) * 255
+        op = np.asarray(morphology.open_(jnp.asarray(binary), se))
+        cl = np.asarray(morphology.close_(jnp.asarray(binary), se))
+        assert (op <= cl).all()
+
+
+class TestRemap:
+    def test_identity_remap(self, gray_image):
+        h, w = gray_image.shape
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        out = np.asarray(remap.remap(jnp.asarray(gray_image), jnp.asarray(xs),
+                                     jnp.asarray(ys)))
+        np.testing.assert_array_equal(out, gray_image)
+
+    def test_default_pixel_outside(self, gray_image):
+        h, w = gray_image.shape
+        xs = np.full((4, 4), -10.0, np.float32)
+        ys = np.full((4, 4), -10.0, np.float32)
+        out = np.asarray(remap.remap(jnp.asarray(gray_image), jnp.asarray(xs),
+                                     jnp.asarray(ys), default_pixel=7))
+        np.testing.assert_array_equal(out, np.full((4, 4), 7, np.uint8))
+
+    def test_warp_identity_homography(self, gray_image):
+        h, w = gray_image.shape
+        eye = jnp.eye(3, dtype=jnp.float32)
+        out = np.asarray(remap.warp_perspective_inverse(jnp.asarray(gray_image),
+                                                        eye, h, w))
+        np.testing.assert_array_equal(out, gray_image)
+
+    def test_warp_translation(self, gray_image):
+        h, w = gray_image.shape
+        m = jnp.asarray([[1.0, 0.0, 5.0], [0.0, 1.0, 0.0]], jnp.float32)
+        out = np.asarray(remap.warp_affine_inverse(jnp.asarray(gray_image), m, h, w))
+        np.testing.assert_array_equal(out[:, : w - 5 - 1], gray_image[:, 5: w - 1])
