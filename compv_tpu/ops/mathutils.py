@@ -80,9 +80,9 @@ def _circular_mask(radius: int):
     d = 2 * radius + 1
     yy, xx = np.mgrid[-radius:radius + 1, -radius:radius + 1]
     mask = (np.abs(xx) <= np.sqrt(radius * radius - yy * yy + 1e-9))
-    return (jnp.asarray(mask.astype(np.float32)),
-            jnp.asarray(xx.astype(np.float32)),
-            jnp.asarray(yy.astype(np.float32)))
+    # NOTE: return host numpy (hashable via lru_cache) — returning jnp arrays
+    # from a cache leaks tracers when first called under jit.
+    return (mask.astype(np.float32), xx.astype(np.float32), yy.astype(np.float32))
 
 
 def patch_moments01_10(img: jax.Array, xy: jax.Array, radius: int):
@@ -91,7 +91,8 @@ def patch_moments01_10(img: jax.Array, xy: jax.Array, radius: int):
     Points too close to the border return zero moments (the reference erases
     those points beforehand; orb_dete.cxx eraseTooCloseToBorder).
     """
-    mask, mx, my = _circular_mask(radius)
+    mask_np, mx_np, my_np = _circular_mask(radius)
+    mask, mx, my = jnp.asarray(mask_np), jnp.asarray(mx_np), jnp.asarray(my_np)
     h, w = img.shape
     d = 2 * radius + 1
     imf = img.astype(jnp.float32)
