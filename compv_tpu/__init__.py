@@ -9,6 +9,14 @@ reference lacks.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Geometry/linalg correctness requires true-f32 matmuls; JAX's default TPU
+# matmul precision is bf16-grade. Hot kernels that want MXU bf16 throughput
+# opt in explicitly by casting inputs to bfloat16 (exact for {0,1} bit planes
+# and uint8 pixel data), so this global costs nothing where it matters.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .core import (  # noqa: F401
     Image, PixelFormat, Points, Descriptors, Matches,
     FastConfig, FastType, OrbConfig, CannyConfig, MatchConfig, RansacConfig,
