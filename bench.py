@@ -1,0 +1,57 @@
+"""Headline benchmark, run by the driver on real TPU hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: FAST9+NMS corner detection at HD (1280x720), frames/s on one chip —
+the reference's headline kernel (speed_compare:61-69: 3,358 ms for 10k HD
+frames on an 8-thread i7-4790K = 2,977 fps; OpenCV 973 fps).
+vs_baseline = our fps / reference fps.
+"""
+import json
+import sys
+import time
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+REFERENCE_FPS = 10000.0 / 3.358  # speed_compare:61-69 (mt, avx2)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from compv_tpu.core.config import FastConfig
+    from compv_tpu.features.fast import fast_detect
+
+    h, w = 720, 1280
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img_np = np.clip(96 + 80 * ((xx // 16 + yy // 16) % 2)
+                     + rng.normal(0, 8, (h, w)), 0, 255).astype(np.uint8)
+    img = jnp.asarray(img_np)
+    cfg = FastConfig(threshold=20, max_features=2000)
+
+    fn = jax.jit(lambda x: fast_detect(x, cfg))
+    # warmup / compile
+    fn(img).xy.block_until_ready()
+
+    iters = 200
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(img)
+    out.xy.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+
+    print(json.dumps({
+        "metric": "fast9_nms_hd_frames_per_s",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / REFERENCE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

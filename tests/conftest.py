@@ -5,10 +5,16 @@ adapted: our sweep axis is 1-device vs 8-device mesh + interpret-mode Pallas).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the host env presets the TPU tunnel
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the axon site hook re-registers the TPU tunnel regardless of env; the
+# config flag is authoritative
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

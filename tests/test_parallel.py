@@ -1,0 +1,73 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharded results must
+equal single-device results (the mesh-size-parametrized invariance strategy
+from SURVEY §4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from compv_tpu.core.config import BAConfig
+from compv_tpu.core.types import Descriptors
+from compv_tpu.matchers import bruteforce
+from compv_tpu.parallel import dist_ba, dist_match, mesh as mesh_mod
+from compv_tpu.slam import ba, camera
+from tests.test_slam import _make_ba_problem
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return mesh_mod.make_mesh((8,), ("data",))
+
+
+class TestShardedMatch:
+    def test_matches_equal_single_device(self, mesh8):
+        rng = np.random.default_rng(0)
+        qb = rng.integers(0, 2 ** 32, (64, 8), dtype=np.uint64).astype(np.uint32)
+        tb = rng.integers(0, 2 ** 32, (256, 8), dtype=np.uint64).astype(np.uint32)
+        q = Descriptors(bits=jnp.asarray(qb), count=jnp.asarray(60, jnp.int32))
+        t = Descriptors(bits=jnp.asarray(tb), count=jnp.asarray(250, jnp.int32))
+        m1 = bruteforce.match(q, t, knn=2)
+        m8 = dist_match.match_sharded(q, t, mesh8, knn=2)
+        np.testing.assert_array_equal(np.asarray(m1.distance),
+                                      np.asarray(m8.distance))
+        # indices may differ on exact distance ties; require same distance and
+        # >95% same index
+        same = (np.asarray(m1.train_idx) == np.asarray(m8.train_idx)).mean()
+        assert same > 0.95
+
+    def test_train_count_respected(self, mesh8):
+        rng = np.random.default_rng(1)
+        tb = rng.integers(0, 2 ** 32, (64, 8), dtype=np.uint64).astype(np.uint32)
+        t = Descriptors(bits=jnp.asarray(tb), count=jnp.asarray(9, jnp.int32))
+        q = Descriptors(bits=jnp.asarray(tb[:16]), count=jnp.asarray(16, jnp.int32))
+        m = dist_match.match_sharded(q, t, mesh8, knn=1)
+        assert (np.asarray(m.train_idx)[:, 0] < 9).all()
+
+
+class TestShardedBA:
+    def test_equals_single_device_ba(self, mesh8):
+        rng = np.random.default_rng(2)
+        prob, intr, gt_poses, gt_pts = _make_ba_problem(rng, P=4, L=64,
+                                                        noise=0.5)
+        # pad observations to a multiple of 8
+        O = prob.obs_uv.shape[0]
+        pad = mesh_mod.pad_to_multiple
+        prob_p = prob._replace(
+            obs_pose=pad(prob.obs_pose, 8),
+            obs_point=pad(prob.obs_point, 8),
+            obs_uv=pad(prob.obs_uv, 8),
+            obs_valid=pad(prob.obs_valid, 8, fill=False),
+        )
+        cfg = BAConfig(max_iters=10)
+        p1, x1, s1 = ba.bundle_adjust(prob_p, intr, cfg)
+        p8, x8, s8 = dist_ba.bundle_adjust_sharded(prob_p, intr, mesh8, cfg)
+        np.testing.assert_allclose(np.asarray(s8.initial_cost),
+                                   np.asarray(s1.initial_cost), rtol=1e-4)
+        # LM accept/reject paths may diverge after several iterations from
+        # float reduction-order differences; require convergence equivalence,
+        # not bitwise trajectory identity.
+        np.testing.assert_allclose(np.asarray(p8), np.asarray(p1), atol=5e-2)
+        assert float(s8.final_cost) < 0.5 * float(s8.initial_cost)
+        assert abs(float(s8.final_cost) - float(s1.final_cost)) \
+            < 0.15 * float(s1.final_cost)
