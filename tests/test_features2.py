@@ -1,0 +1,109 @@
+"""HOG, Hough SHT, and CCL tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from compv_tpu.core.config import HogConfig, HoughConfig
+from compv_tpu.features import ccl, hog as hog_mod, hough_sht
+
+
+class TestHog:
+    def test_descriptor_size(self):
+        cfg = HogConfig()
+        d = hog_mod.hog(jnp.asarray(np.zeros((64, 128), np.uint8)), cfg)
+        assert d.shape[0] == hog_mod.hog_descriptor_size(64, 128, cfg)
+        # standard 64x128 person window: 7x15 blocks x 36 = 3780
+        assert d.shape[0] == 3780
+
+    def test_vertical_edge_energy_in_horizontal_bin(self):
+        img = np.zeros((64, 64), np.uint8)
+        img[:, 32:] = 255
+        cfg = HogConfig(norm="none")
+        d = np.asarray(hog_mod.hog(jnp.asarray(img), cfg)).reshape(-1, 9)
+        total = d.sum(0)
+        # gradient along +x -> angle 0 -> bin 0 dominates
+        assert total.argmax() == 0
+
+    @pytest.mark.parametrize("norm", ["none", "l1", "l1sqrt", "l2", "l2hys"])
+    def test_norms_finite(self, norm):
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        d = np.asarray(hog_mod.hog(jnp.asarray(img), HogConfig(norm=norm)))
+        assert np.isfinite(d).all()
+        if norm == "l2hys":
+            assert d.max() <= 1.0 + 1e-5
+
+
+class TestHoughSHT:
+    def test_detects_horizontal_and_vertical_lines(self):
+        edges = np.zeros((128, 128), np.uint8)
+        edges[40, 10:120] = 255      # horizontal line y=40
+        edges[10:120, 70] = 255      # vertical line x=70
+        lines = hough_sht.hough_lines_sht(
+            jnp.asarray(edges), HoughConfig(threshold=60, max_lines=8))
+        n = int(lines.count)
+        assert n >= 2
+        rho = np.asarray(lines.rho)[:n]
+        theta = np.asarray(lines.theta)[:n]
+        # vertical line: theta ~ 0, rho ~ 70 ; horizontal: theta ~ pi/2, rho ~ 40
+        has_v = any(abs(t) < 0.05 and abs(r - 70) <= 1.5 for r, t in zip(rho, theta))
+        has_h = any(abs(t - np.pi / 2) < 0.05 and abs(r - 40) <= 1.5
+                    for r, t in zip(rho, theta))
+        assert has_v and has_h
+
+    def test_no_lines_in_empty_map(self):
+        edges = np.zeros((64, 64), np.uint8)
+        lines = hough_sht.hough_lines_sht(jnp.asarray(edges),
+                                          HoughConfig(threshold=10))
+        assert int(lines.count) == 0
+
+    def test_strength_counts_votes(self):
+        edges = np.zeros((64, 64), np.uint8)
+        edges[32, 4:60] = 255
+        lines = hough_sht.hough_lines_sht(jnp.asarray(edges),
+                                          HoughConfig(threshold=20, max_lines=4))
+        assert int(lines.strength[0]) >= 50  # ~56 collinear points
+
+
+class TestCCL:
+    def test_two_blobs(self):
+        img = np.zeros((32, 32), np.uint8)
+        img[4:10, 4:10] = 255
+        img[20:28, 15:25] = 255
+        lbl = ccl.label(jnp.asarray(img))
+        comps = ccl.extract_components(lbl, 16)
+        assert int(comps.count) == 2
+        areas = sorted(np.asarray(comps.areas)[:2].tolist())
+        assert areas == [36, 80]
+        boxes = np.asarray(comps.boxes)[:2]
+        assert {tuple(b) for b in boxes} == {(4, 4, 9, 9), (15, 20, 24, 27)}
+
+    def test_8_vs_4_connectivity(self):
+        img = np.zeros((8, 8), np.uint8)
+        img[1, 1] = 255
+        img[2, 2] = 255  # diagonal touch
+        lbl8 = ccl.label(jnp.asarray(img), connectivity=8)
+        lbl4 = ccl.label(jnp.asarray(img), connectivity=4)
+        c8 = ccl.extract_components(lbl8, 8)
+        c4 = ccl.extract_components(lbl4, 8)
+        assert int(c8.count) == 1
+        assert int(c4.count) == 2
+
+    def test_spiral_converges(self):
+        """Worst case for plain propagation; path halving must still finish."""
+        img = np.zeros((32, 32), np.uint8)
+        # serpentine: one long connected path (worst-case diameter ~ H*W/2)
+        for r in range(0, 32, 2):
+            img[r, :] = 255
+            if r + 1 < 32:
+                img[r + 1, 31 if (r // 2) % 2 == 0 else 0] = 255
+        lbl = ccl.label(jnp.asarray(img))
+        comps = ccl.extract_components(lbl, 8)
+        assert int(comps.count) == 1
+        assert int(comps.areas[0]) == int((img > 0).sum())
+
+    def test_centroids(self):
+        img = np.zeros((16, 16), np.uint8)
+        img[4:8, 6:10] = 255
+        comps = ccl.extract_components(ccl.label(jnp.asarray(img)), 4)
+        np.testing.assert_allclose(np.asarray(comps.centroids)[0], [7.5, 5.5])
