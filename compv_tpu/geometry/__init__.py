@@ -1,1 +1,1 @@
-from . import linalg, transform, ransac, homography  # noqa: F401
+from . import linalg, transform, ransac, homography, essential, calib, lm  # noqa: F401

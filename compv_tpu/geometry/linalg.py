@@ -106,6 +106,29 @@ def svd_via_ata(a: jax.Array, sweeps: int = 12):
     return u, s_vals, v.T
 
 
+def svd3x3(a: jax.Array, sweeps: int = 14):
+    """Rank-safe SVD of a 3x3 matrix: like svd_via_ata but U columns for
+    (near-)zero singular values are completed to an orthonormal basis via
+    cross products — required for essential-matrix decomposition where
+    s3 = 0 exactly (svd_via_ata would return a zero U column)."""
+    u, s, vt = svd_via_ata(a, sweeps=sweeps)
+    # f32 Jacobi eigenvalue noise floor is ~1e-7·s1^2; after sqrt a true-zero
+    # singular value reads as ~3e-4·s1, so the rank test must sit above that.
+    eps = 1e-3 * jnp.maximum(s[0], 1e-30)
+
+    def unit(v):
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+    u0 = unit(jnp.where(s[0] > eps, u[:, 0], jnp.asarray([1.0, 0.0, 0.0])))
+    # u1: from A if valid, else any vector orthogonal to u0
+    alt1 = unit(jnp.cross(u0, jnp.where(
+        jnp.abs(u0[0]) < 0.9, jnp.asarray([1.0, 0.0, 0.0]),
+        jnp.asarray([0.0, 1.0, 0.0]))))
+    u1 = unit(jnp.where(s[1] > eps, u[:, 1], alt1))
+    u2 = unit(jnp.where(s[2] > eps, u[:, 2], jnp.cross(u0, u1)))
+    return jnp.stack([u0, u1, u2], axis=1), s, vt
+
+
 def pseudoinv(a: jax.Array, sweeps: int = 12) -> jax.Array:
     """Moore-Penrose pseudo-inverse via the same SVD route as the reference
     (compv_math_matrix.cxx:961)."""

@@ -1,1 +1,1 @@
-from . import camera, ba, posegraph  # noqa: F401
+from . import camera, ba, posegraph, pnp, vo  # noqa: F401

@@ -1,0 +1,71 @@
+"""End-to-end VO test on a synthetic 3D scene with distinctive random
+descriptors (correspondence-level API) — verifies init -> track -> trajectory
+ATE without needing dataset files."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from compv_tpu.slam import camera, vo
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(0)
+    n_pts = 600
+    pts = rng.uniform([-4, -3, 4], [4, 3, 14], (n_pts, 3)).astype(np.float32)
+    desc = rng.integers(0, 2 ** 32, (n_pts, 8), dtype=np.uint64).astype(np.uint32)
+    intr = camera.Intrinsics.make(500.0, 500.0, 320.0, 240.0)
+    # smooth forward + sideways trajectory, 8 frames
+    frames = []
+    gt = []
+    for f in range(8):
+        wt = np.array([0.0, 0.012 * f, 0.0,
+                       -0.25 * f, 0.01 * f, 0.05 * f], np.float32)
+        uv = np.array(camera.project_batch(jnp.asarray(wt), intr,
+                                           jnp.asarray(pts)))
+        uv += rng.normal(0, 0.3, uv.shape)
+        depth = np.array([camera.point_depth(jnp.asarray(wt), jnp.asarray(p))
+                          for p in pts[:1]])  # cheap check only first
+        vis = ((uv[:, 0] > 0) & (uv[:, 0] < 640)
+               & (uv[:, 1] > 0) & (uv[:, 1] < 480))
+        frames.append((uv[vis].astype(np.float32), desc[vis]))
+        gt.append(wt)
+    return intr, frames, np.stack(gt)
+
+
+class TestVO:
+    def test_full_trajectory(self, scene):
+        intr, frames, gt = scene
+        odo = vo.VisualOdometry(intr, vo.VOConfig())
+        # init from matched correspondences between frames 0 and 1: use the
+        # shared descriptor identity to build the pairs (simulating matching)
+        uv0, d0 = frames[0]
+        uv1, d1 = frames[1]
+        # exact-descriptor intersection
+        key0 = d0[:, 0].astype(np.int64)
+        key1 = d1[:, 0].astype(np.int64)
+        common, i0, i1 = np.intersect1d(key0, key1, return_indices=True)
+        ok = odo.initialize_pair(uv0[i0], uv1[i1], d1[i1])
+        assert ok
+        for f in range(2, 8):
+            uv, d = frames[f]
+            assert odo.track_correspondences(uv, d), f"frame {f} lost"
+        est = odo.positions()
+        # ground-truth camera centers
+        gt_pos = []
+        for wt in gt:
+            inv = np.array(camera.se3_inverse(jnp.asarray(wt)))
+            gt_pos.append(inv[3:])
+        gt_pos = np.stack(gt_pos)
+        err = vo.ate_rmse(est, gt_pos)
+        # monocular scale-aligned ATE on a 2m trajectory: expect cm-level
+        assert err < 0.05, f"ATE {err}"
+
+    def test_ate_alignment_invariance(self):
+        rng = np.random.default_rng(1)
+        gt = rng.normal(size=(20, 3))
+        q = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1  # proper rotation
+        est = 2.5 * gt @ q + 7.0
+        assert vo.ate_rmse(est, gt) < 1e-5
