@@ -54,9 +54,18 @@ def match(query: Descriptors, train: Descriptors, knn: int = 2) -> Matches:
     d = hamming_matrix(query, train)
     t_valid = train.valid  # (T,)
     d = jnp.where(t_valid[None, :], d, PAD_DISTANCE)
-    neg, idx = jax.lax.top_k(-d, knn)
-    return Matches(train_idx=idx.astype(jnp.int32),
-                   distance=-neg,
+    # Iterated argmin instead of lax.top_k: top_k lowers to a full sort on
+    # TPU (~10x slower); knn is 1/2/small-k (bruteforce.cxx:166-223 keeps a
+    # streaming best-2), so k min-reduction passes are the fast form.
+    cols = jnp.arange(d.shape[1], dtype=jnp.int32)[None, :]
+    idxs, dists = [], []
+    for _ in range(knn):
+        best = jnp.argmin(d, axis=1).astype(jnp.int32)
+        idxs.append(best)
+        dists.append(jnp.take_along_axis(d, best[:, None], axis=1)[:, 0])
+        d = jnp.where(cols == best[:, None], PAD_DISTANCE, d)
+    return Matches(train_idx=jnp.stack(idxs, axis=1),
+                   distance=jnp.stack(dists, axis=1),
                    query_valid=query.valid)
 
 

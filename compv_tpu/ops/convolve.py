@@ -92,7 +92,17 @@ def gaussian_blur(img: jax.Array, size: int = 5, sigma: float = 2.0,
                   border: BorderMode = BorderMode.ZERO,
                   out_dtype=jnp.uint8) -> jax.Array:
     """Gaussian blur via separable conv (reference ORB desc uses size=5,
-    sigma=2, compv_core_feature_orb_desc.cxx:119-120)."""
+    sigma=2, compv_core_feature_orb_desc.cxx:119-120). Routes to the fused
+    Pallas kernel on TPU (kernels/conv_sep.py) — one HBM pass instead of
+    XLA's conv lowering."""
+    from ..kernels.dispatch import pallas_enabled
+    if pallas_enabled() and img.ndim == 2 and border in (BorderMode.ZERO,
+                                                         BorderMode.REPLICATE):
+        from ..kernels.conv_sep import gaussian_blur_pallas
+        mode = "edge" if border == BorderMode.REPLICATE else "constant"
+        out = gaussian_blur_pallas(img, size, sigma, out_dtype=None,
+                                   pad_mode=mode)
+        return _finish(img, out, border, out_dtype)
     k = jnp.asarray(gaussian_kernel1d(size, sigma))
     return conv_separable(img, k, k, border=border, out_dtype=out_dtype)
 
@@ -109,7 +119,12 @@ PREWITT3 = (np.array([1.0, 0.0, -1.0], np.float32),
 
 def gradients(img: jax.Array, kind: str = "sobel",
               border: BorderMode = BorderMode.ZERO):
-    """Gx, Gy via separable derivative kernels. Returns float32 pair."""
+    """Gx, Gy via separable derivative kernels. Returns float32 pair.
+    On TPU both derivatives run in ONE fused Pallas pass over the image."""
+    from ..kernels.dispatch import pallas_enabled
+    if pallas_enabled() and img.ndim == 2 and border == BorderMode.ZERO:
+        from ..kernels.conv_sep import gradients_pallas
+        return gradients_pallas(img, kind)
     deriv, smooth = {"sobel": SOBEL3, "scharr": SCHARR3, "prewitt": PREWITT3}[kind]
     deriv = jnp.asarray(deriv)
     smooth = jnp.asarray(smooth)

@@ -97,27 +97,44 @@ class VisualOdometry:
                          valid=jnp.asarray(valid),
                          count=jnp.asarray(count + n, jnp.int32))
 
+    def _pad_rows(self, arr: np.ndarray, cap: int) -> Tuple[np.ndarray,
+                                                            np.ndarray]:
+        """(N, d) -> ((cap, d), (cap,) bool valid). Truncates N > cap.
+        Fixed capacities keep every jitted step single-compile across frames
+        (varying N would recompile per frame)."""
+        n = min(arr.shape[0], cap)
+        out = np.zeros((cap,) + arr.shape[1:], arr.dtype)
+        out[:n] = arr[:n]
+        valid = np.zeros((cap,), bool)
+        valid[:n] = True
+        return out, valid
+
     # ----------------------------------------------- correspondence-level
     def initialize_pair(self, uv1: np.ndarray, uv2: np.ndarray,
                         desc2: np.ndarray) -> bool:
         """Two-view init from matched pixel correspondences (N, 2) + the
         second view's descriptors (N, 8). Returns success."""
+        cap = self.config.max_obs_per_frame
+        uv1, vmask = self._pad_rows(np.asarray(uv1, np.float32), cap)
+        uv2, _ = self._pad_rows(np.asarray(uv2, np.float32), cap)
+        desc2, _ = self._pad_rows(np.asarray(desc2), cap)
+        valid = jnp.asarray(vmask)
         res = essential.find_essential(
-            self._split(), jnp.asarray(uv1, jnp.float32),
-            jnp.asarray(uv2, jnp.float32), self.intr,
+            self._split(), jnp.asarray(uv1),
+            jnp.asarray(uv2), self.intr, valid_mask=valid,
             config=self.config.essential)
         if int(res.num_inliers) < 16:
             return False
-        x1 = essential._normalize_pixels(jnp.asarray(uv1, jnp.float32), self.intr)
-        x2 = essential._normalize_pixels(jnp.asarray(uv2, jnp.float32), self.intr)
-        r, t = essential.decompose_essential(res.e, x1, x2, res.inlier_mask)
+        x1 = essential._normalize_pixels(jnp.asarray(uv1), self.intr)
+        x2 = essential._normalize_pixels(jnp.asarray(uv2), self.intr)
+        r, t = essential.decompose_essential(res.e, x1, x2,
+                                             res.inlier_mask & valid)
         from .camera import so3_log
         wt2 = jnp.concatenate([so3_log(r), t])     # unit-scale translation
         wt1 = jnp.zeros(6)
         tri = triangulate_batch(wt1, wt2, self.intr,
-                                jnp.asarray(uv1, jnp.float32),
-                                jnp.asarray(uv2, jnp.float32))
-        mask = np.array(res.inlier_mask)
+                                jnp.asarray(uv1), jnp.asarray(uv2))
+        mask = np.array(res.inlier_mask) & vmask
         pts = np.array(tri)
         good = mask & (pts[:, 2] > 0.05) & (pts[:, 2] < 1e3)
         if good.sum() < 16:
@@ -137,18 +154,23 @@ class VisualOdometry:
         """Track one frame given its keypoint pixels (N, 2) + descriptors
         (N, 8): match vs the map, PnP, append pose. Returns success."""
         assert self._initialized
-        q = Descriptors(bits=jnp.asarray(desc),
-                        count=jnp.asarray(desc.shape[0], jnp.int32))
+        cap = self.config.max_obs_per_frame
+        n = min(desc.shape[0], cap)
+        desc_p, _ = self._pad_rows(np.asarray(desc), cap)
+        uv_p, _ = self._pad_rows(np.asarray(uv, np.float32), cap)
+        q = Descriptors(bits=jnp.asarray(desc_p),
+                        count=jnp.asarray(n, jnp.int32))
         tr = Descriptors(bits=self.map.desc, count=self.map.count)
         m = bruteforce.match(q, tr, knn=2)
         good = np.array(bruteforce.lowe_ratio_mask(m, self.config.match_ratio))
         ti = np.array(m.train_idx)[:, 0]
         if good.sum() < self.config.min_track_inliers:
             return False
-        pts3d = np.array(self.map.points)[ti[good]]
-        uv_m = np.asarray(uv, np.float32)[good]
+        # keep static shapes: full padded arrays + validity mask into PnP
+        pts3d = np.array(self.map.points)[ti]      # (cap, 3)
         res = pnp.solve_pnp(self._split(), jnp.asarray(pts3d),
-                            jnp.asarray(uv_m), self.intr,
+                            jnp.asarray(uv_p), self.intr,
+                            valid_mask=jnp.asarray(good),
                             config=self.config.ransac)
         if int(res.num_inliers) < self.config.min_track_inliers:
             return False
