@@ -145,9 +145,18 @@ def make_fast(config: FastConfig = FastConfig()):
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def fast_detect(img: jax.Array, config: FastConfig = FastConfig()) -> Points:
-    """Full FAST pipeline: strengths -> optional NMS -> top-k points."""
+    """Full FAST pipeline: strengths -> optional NMS -> top-k points.
+    On TPU the strengths+NMS stage runs as one fused Pallas kernel
+    (kernels/fast_kernel.py); elsewhere as the fused-XLA formulation above
+    (bit-identical — tests assert maxdiff 0)."""
     n = 9 if config.fast_type == FastType.FAST9 else 12
-    s = fast_strengths(img, config.threshold, n)
-    if config.nonmax_suppression:
-        s = fast_nms(s)
+    from ..kernels.dispatch import pallas_enabled
+    if pallas_enabled():
+        from ..kernels.fast_kernel import fast_strengths_pallas
+        s = fast_strengths_pallas(img, config.threshold, n,
+                                  nms=config.nonmax_suppression)
+    else:
+        s = fast_strengths(img, config.threshold, n)
+        if config.nonmax_suppression:
+            s = fast_nms(s)
     return strengths_to_points(s, config.max_features)

@@ -1,0 +1,102 @@
+"""Pallas kernel parity tests, run in interpreter mode on CPU.
+
+Mirrors the reference's asm-vs-scalar-C++ sweep (unittests/main.cxx:89-94):
+every Pallas kernel must match its jnp reference formulation exactly (integer
+outputs) or to float tolerance.
+"""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _force_interpret():
+    """Route dispatch to interpret-mode Pallas for this module only."""
+    old = os.environ.get("COMPV_TPU_PALLAS")
+    os.environ["COMPV_TPU_PALLAS"] = "interpret"
+    yield
+    if old is None:
+        os.environ.pop("COMPV_TPU_PALLAS", None)
+    else:
+        os.environ["COMPV_TPU_PALLAS"] = old
+
+from compv_tpu.kernels import dispatch
+from compv_tpu.kernels.conv_sep import (conv_separable_fused,
+                                        gaussian_blur_pallas,
+                                        gradients_pallas)
+from compv_tpu.kernels.fast_kernel import fast_strengths_pallas
+from compv_tpu.ops import convolve
+from compv_tpu.features import fast
+
+
+@pytest.fixture(scope="module")
+def img(rng):
+    h, w = 96, 130   # deliberately unaligned to lane/sublane tiles
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = np.clip(96 + 80 * ((xx // 8 + yy // 8) % 2)
+                  + rng.normal(0, 8, (h, w)), 0, 255).astype(np.uint8)
+    return jnp.asarray(out)
+
+
+class TestDispatch:
+    def test_interpret_forced(self):
+        assert dispatch.pallas_enabled()
+        assert dispatch.interpret_mode()
+
+
+class TestConvSep:
+    def test_gaussian_blur_matches_reference(self, img):
+        got = gaussian_blur_pallas(img, 5, 2.0, out_dtype=None)
+        want = convolve.conv_separable(
+            img, jnp.asarray(convolve.gaussian_kernel1d(5, 2.0)),
+            jnp.asarray(convolve.gaussian_kernel1d(5, 2.0)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-3)
+
+    def test_gradients_match_reference(self, img):
+        gx, gy = gradients_pallas(img, "sobel")
+        want_gx = convolve.conv_separable(img, jnp.asarray(convolve.SOBEL3[0]),
+                                          jnp.asarray(convolve.SOBEL3[1]))
+        want_gy = convolve.conv_separable(img, jnp.asarray(convolve.SOBEL3[1]),
+                                          jnp.asarray(convolve.SOBEL3[0]))
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(want_gx),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gy), np.asarray(want_gy),
+                                   atol=1e-3)
+
+    def test_multi_filter_single_pass(self, img):
+        taps = ((( 1.0, 0.0, -1.0), (1.0, 2.0, 1.0)),
+                ((0.25, 0.5, 0.25), (0.25, 0.5, 0.25)))
+        a, b = conv_separable_fused(img, taps)
+        assert a.shape == img.shape and b.shape == img.shape
+
+    def test_replicate_border(self, img):
+        got = gaussian_blur_pallas(img, 5, 2.0, out_dtype=None,
+                                   pad_mode="edge")
+        want = convolve.conv_separable(
+            img, jnp.asarray(convolve.gaussian_kernel1d(5, 2.0)),
+            jnp.asarray(convolve.gaussian_kernel1d(5, 2.0)),
+            border=convolve.BorderMode.REPLICATE)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-3)
+
+
+class TestFastKernel:
+    @pytest.mark.parametrize("n", [9, 12])
+    def test_strengths_nms_exact(self, img, n):
+        got = fast_strengths_pallas(img, 20, n, nms=True)
+        want = fast.fast_nms(fast.fast_strengths(img, 20, n))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_strengths_no_nms_exact(self, img):
+        got = fast_strengths_pallas(img, 20, 9, nms=False)
+        want = fast.fast_strengths(img, 20, 9)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_tiny_image(self, rng):
+        tiny = jnp.asarray(rng.integers(0, 256, (6, 5), np.uint8))
+        out = fast_strengths_pallas(tiny, 20, 9)
+        assert out.shape == (6, 5)
+        assert int(jnp.sum(out)) == 0  # nothing is >= 3px from the border
