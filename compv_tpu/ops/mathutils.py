@@ -70,6 +70,26 @@ def scale_and_clip_pixel8(x: jax.Array, scale: jax.Array) -> jax.Array:
     return jnp.clip(jnp.round(x.astype(jnp.float32) * scale), 0, 255).astype(jnp.uint8)
 
 
+def norm_l2(x: jax.Array, axis=None) -> jax.Array:
+    """L2-normalize (reference normL2, compv_math_stats.h:19-26)."""
+    n = jnp.sqrt(jnp.sum(x.astype(jnp.float32) ** 2, axis=axis,
+                         keepdims=axis is not None))
+    return x / jnp.maximum(n, 1e-12)
+
+
+def norm_minmax(x: jax.Array) -> jax.Array:
+    """Scale into [0, 1] (reference normMinmax)."""
+    f = x.astype(jnp.float32)
+    lo, hi = jnp.min(f), jnp.max(f)
+    return (f - lo) / jnp.maximum(hi - lo, 1e-12)
+
+
+def norm_zscore(x: jax.Array) -> jax.Array:
+    """Zero-mean unit-variance (reference normZscore)."""
+    f = x.astype(jnp.float32)
+    return (f - jnp.mean(f)) / jnp.maximum(stdev(f), 1e-12)
+
+
 # ------------------------------------------------------------- patch moments
 
 @functools.lru_cache(maxsize=None)
