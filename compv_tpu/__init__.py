@@ -23,3 +23,13 @@ from .core import (  # noqa: F401
     HoughConfig, HogConfig, BAConfig, Interp, BorderMode,
 )
 from . import ops  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy subpackage access: compv_tpu.ml, .io, .viz, .slam, ... import on
+    # first touch (keeps bare `import compv_tpu` light for TPU startup)
+    import importlib
+    if name in ("features", "geometry", "matchers", "slam", "parallel",
+                "ml", "io", "viz", "kernels", "runtime", "core"):
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)

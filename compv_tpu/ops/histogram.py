@@ -35,6 +35,15 @@ def equalize(img: jax.Array) -> jax.Array:
     return lut[img.astype(jnp.int32)]
 
 
+def gamma_correct(img: jax.Array, gamma: float) -> jax.Array:
+    """Gamma correction via a 256-entry LUT (reference CompVImage::gamma,
+    base/include/compv/base/image/compv_image.h:15-56): out = 255*(v/255)^g."""
+    lut = jnp.clip(jnp.round(
+        255.0 * (jnp.arange(256, dtype=jnp.float32) / 255.0) ** gamma),
+        0, 255).astype(jnp.uint8)
+    return lut[img.astype(jnp.int32)]
+
+
 def projection_x(img: jax.Array) -> jax.Array:
     """Column sums (reference CompVMathHistogram::buildProjectionX)."""
     return jnp.sum(img.astype(jnp.int32), axis=0)
