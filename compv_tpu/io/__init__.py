@@ -6,4 +6,4 @@ libjpeg), CompVFileUtils (raw reads), the FFmpeg video reader
 empty stub), and the ML save/load persistence — upgraded to full pipeline
 checkpointing (SURVEY §5: "TPU build needs real checkpointing").
 """
-from . import image, video, checkpoint  # noqa: F401
+from . import image, video, checkpoint, camera  # noqa: F401

@@ -60,9 +60,11 @@ def match(query: Descriptors, train: Descriptors, knn: int = 2) -> Matches:
     cols = jnp.arange(d.shape[1], dtype=jnp.int32)[None, :]
     idxs, dists = [], []
     for _ in range(knn):
+        # min + argmin reductions only — no take_along_axis (TPU gathers
+        # are an order of magnitude slower than a second reduction)
         best = jnp.argmin(d, axis=1).astype(jnp.int32)
         idxs.append(best)
-        dists.append(jnp.take_along_axis(d, best[:, None], axis=1)[:, 0])
+        dists.append(jnp.min(d, axis=1))
         d = jnp.where(cols == best[:, None], PAD_DISTANCE, d)
     return Matches(train_idx=jnp.stack(idxs, axis=1),
                    distance=jnp.stack(dists, axis=1),

@@ -148,6 +148,27 @@ class TestCheckpoint:
         assert int(odo2.map.count) == 0
 
 
+class TestCamera:
+    def test_run_loop_early_stop(self):
+        from compv_tpu.io.camera import FrameSource, run_loop
+        frames = [np.full((4, 4), i, np.uint8) for i in range(5)]
+        seen = []
+        n = run_loop(FrameSource(frames),
+                     lambda f: (seen.append(int(f[0, 0])), len(seen) < 3)[1])
+        assert n == 3 and seen == [0, 1, 2]
+
+    def test_error_callback(self):
+        from compv_tpu.io.camera import FrameSource, run_loop
+        frames = [np.zeros((2, 2), np.uint8)] * 4
+        errs = []
+
+        def cb(f):
+            raise ValueError("boom")
+
+        n = run_loop(FrameSource(frames), cb, on_error=errs.append)
+        assert n == 4 and len(errs) == 4
+
+
 class TestViz:
     def test_draw_points_and_boxes(self, rng):
         img = rng.integers(0, 256, (40, 60), dtype=np.uint8)

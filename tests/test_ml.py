@@ -86,15 +86,19 @@ class TestSVM:
 
 
 class TestKNN:
-    def test_exact_l2(self, rng):
+    def test_exact_l2(self):
+        # local generator: order-independent data (the shared session rng's
+        # state depends on which tests ran before)
+        rng = np.random.default_rng(7)
         v = rng.normal(size=(300, 16)).astype(np.float32)
         idx = knn.build(jnp.asarray(v))
         q = v[17:20] + 1e-4
         labels, dists = knn.search(idx, jnp.asarray(q), k=3)
         assert list(np.asarray(labels)[:, 0]) == [17, 18, 19]
-        # distances match numpy brute force
+        # distances match numpy brute force (f32 ||a||^2+||b||^2-2ab form
+        # carries ~2e-3 cancellation error vs numpy's f64 direct norm)
         want = np.sort(np.linalg.norm(v[None] - q[:, None], axis=2), axis=1)
-        np.testing.assert_allclose(np.asarray(dists), want[:, :3], atol=1e-3)
+        np.testing.assert_allclose(np.asarray(dists), want[:, :3], atol=5e-3)
 
     def test_cosine(self, rng):
         v = rng.normal(size=(50, 8)).astype(np.float32)
