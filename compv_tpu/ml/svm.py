@@ -121,6 +121,41 @@ def predict(model: SVMModel, x: jax.Array) -> jax.Array:
     return jnp.where(d >= 0, model.classes[1], model.classes[0])
 
 
+class SVMMulticlass(NamedTuple):
+    models: tuple          # one binary SVMModel per class pair
+    pairs: tuple           # ((ci, cj), ...) original labels per model
+    classes: tuple
+
+
+def train_multiclass(x: jax.Array, y, **train_kw) -> SVMMulticlass:
+    """One-vs-one multiclass C-SVC (libsvm's scheme, which the reference
+    wraps): k(k-1)/2 binary machines + majority vote."""
+    x = jnp.asarray(x, jnp.float32)
+    yl = np.asarray(y)
+    classes = tuple(np.unique(yl).tolist())
+    models, pairs = [], []
+    for i in range(len(classes)):
+        for j in range(i + 1, len(classes)):
+            sel = (yl == classes[i]) | (yl == classes[j])
+            models.append(train(x[jnp.asarray(sel)], yl[sel], **train_kw))
+            pairs.append((classes[i], classes[j]))
+    return SVMMulticlass(models=tuple(models), pairs=tuple(pairs),
+                         classes=classes)
+
+
+def predict_multiclass(mc: SVMMulticlass, x: jax.Array) -> np.ndarray:
+    """(N,) labels by pairwise vote."""
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    cls_index = {c: k for k, c in enumerate(mc.classes)}
+    votes = np.zeros((n, len(mc.classes)), np.int32)
+    for model, (ci, cj) in zip(mc.models, mc.pairs):
+        pred = np.asarray(predict(model, x))
+        votes[:, cls_index[ci]] += pred == ci
+        votes[:, cls_index[cj]] += pred == cj
+    return np.asarray([mc.classes[k] for k in votes.argmax(1)])
+
+
 def cross_validate(x, y, folds: int = 5, seed: int = 0, **train_kw) -> float:
     """K-fold accuracy (reference crossValidation, ml_svm.h:97)."""
     x = np.asarray(x)

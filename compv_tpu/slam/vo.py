@@ -28,7 +28,7 @@ from ..features.orb import orb_detect_describe
 from ..geometry import essential
 from ..matchers import bruteforce
 from . import ba, pnp
-from .camera import Intrinsics, se3_inverse, triangulate_batch
+from .camera import Intrinsics, point_depth, se3_inverse, triangulate_batch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +66,12 @@ class VisualOdometry:
         self.trajectory: List[np.ndarray] = []     # world->cam poses (6,)
         self.map: Optional[VOMap] = None
         self._initialized = False
+        # last keyframe (pose, padded uv, padded desc, frame_idx) for
+        # triangulating NEW landmarks as the camera moves (map extension; the
+        # two-view init map alone starves once its landmarks leave the FOV)
+        self._last_kf = None
+        # observation log (frame_idx, landmark_idx, uv) feeding windowed BA
+        self._obs: List[Tuple[int, int, np.ndarray]] = []
 
     # ------------------------------------------------------------- helpers
     def _split(self):
@@ -79,14 +85,17 @@ class VisualOdometry:
                      valid=jnp.zeros((L,), bool),
                      count=jnp.asarray(0, jnp.int32))
 
-    def _add_landmarks(self, pts3d: np.ndarray, desc: np.ndarray):
-        """Host-side map insertion (append into the fixed-capacity table)."""
+    def _add_landmarks(self, pts3d: np.ndarray, desc: np.ndarray
+                       ) -> np.ndarray:
+        """Host-side map insertion (append into the fixed-capacity table).
+        Returns the assigned global landmark indices (may be shorter than
+        the request when the map is full)."""
         m = self.map if self.map is not None else self._empty_map()
         count = int(m.count)
         space = self.config.max_landmarks - count
         n = min(pts3d.shape[0], space)
         if n <= 0:
-            return
+            return np.zeros((0,), np.int64)
         points = np.array(m.points)
         descs = np.array(m.desc)
         valid = np.array(m.valid)
@@ -96,6 +105,7 @@ class VisualOdometry:
         self.map = VOMap(points=jnp.asarray(points), desc=jnp.asarray(descs),
                          valid=jnp.asarray(valid),
                          count=jnp.asarray(count + n, jnp.int32))
+        return np.arange(count, count + n)
 
     def _pad_rows(self, arr: np.ndarray, cap: int) -> Tuple[np.ndarray,
                                                             np.ndarray]:
@@ -146,7 +156,13 @@ class VisualOdometry:
         wt2[3:] = wt2[3:] / scale
         self.trajectory = [np.zeros(6, np.float32), wt2.astype(np.float32)]
         self.map = self._empty_map()
-        self._add_landmarks(pts[good], np.asarray(desc2)[good])
+        self._obs = []
+        lids = self._add_landmarks(pts[good], np.asarray(desc2)[good])
+        gi = np.flatnonzero(good)[:len(lids)]
+        for lid, g in zip(lids, gi):
+            self._obs.append((0, int(lid), uv1[g]))
+            self._obs.append((1, int(lid), uv2[g]))
+        self._last_kf = (wt2.astype(np.float32), uv2, desc2, 1)
         self._initialized = True
         return True
 
@@ -174,8 +190,107 @@ class VisualOdometry:
                             config=self.config.ransac)
         if int(res.num_inliers) < self.config.min_track_inliers:
             return False
-        self.trajectory.append(np.array(res.pose, np.float32))
+        pose = np.array(res.pose, np.float32)
+        self.trajectory.append(pose)
+        fidx = len(self.trajectory) - 1
+        inl = np.array(res.inlier_mask) & good
+        for i in np.flatnonzero(inl):
+            self._obs.append((fidx, int(ti[i]), uv_p[i]))
+        self._extend_map(uv_p, desc_p, pose, matched=good, frame_idx=fidx)
         return True
+
+    def refine(self, window: Optional[int] = None) -> bool:
+        """Windowed bundle adjustment over the most recent frames: optimizes
+        their poses + the landmarks they observe (slam/ba.py Schur-LM) and
+        writes the result back into the trajectory/map. Call every few
+        tracked frames to bound drift."""
+        if not self._obs:
+            return False
+        w = window or self.config.window
+        f_hi = len(self.trajectory)
+        f_lo = max(0, f_hi - w)
+        obs = [(f, l, uv) for (f, l, uv) in self._obs if f >= f_lo]
+        if len(obs) < 12:
+            return False
+        frames = sorted({f for f, _, _ in obs})
+        lids = sorted({l for _, l, _ in obs})
+        pmap = {f: i for i, f in enumerate(frames)}
+        lmap = {l: i for i, l in enumerate(lids)}
+        o = len(obs)
+        cap = 1 << max(6, (o - 1).bit_length())  # pow2 pad bounds recompiles
+        obs_pose = np.zeros(cap, np.int32)
+        obs_point = np.zeros(cap, np.int32)
+        obs_uv = np.zeros((cap, 2), np.float32)
+        for k, (f, l, uv) in enumerate(obs):
+            obs_pose[k] = pmap[f]
+            obs_point[k] = lmap[l]
+            obs_uv[k] = uv
+        valid = np.zeros(cap, bool)
+        valid[:o] = True
+        poses = np.stack([self.trajectory[f] for f in frames])
+        points = np.array(self.map.points)[lids]
+        # gauge: freeze the first window pose (and frame 0 if included)
+        fixed = np.zeros(len(frames), bool)
+        fixed[0] = True
+        prob = ba.BAProblem(
+            poses=jnp.asarray(poses), points=jnp.asarray(points),
+            obs_pose=jnp.asarray(obs_pose), obs_point=jnp.asarray(obs_point),
+            obs_uv=jnp.asarray(obs_uv), obs_valid=jnp.asarray(valid),
+            fixed_poses=jnp.asarray(fixed))
+        new_poses, new_points, stats = ba.bundle_adjust(
+            prob, self.intr, self.config.ba)
+        if not np.isfinite(np.asarray(new_poses)).all():
+            return False
+        if float(stats.final_cost) > float(stats.initial_cost):
+            return False
+        new_poses = np.asarray(new_poses, np.float32)
+        for f, i in pmap.items():
+            self.trajectory[f] = new_poses[i]
+        pts = np.array(self.map.points)
+        pts[lids] = np.asarray(new_points, np.float32)
+        self.map = self.map._replace(points=jnp.asarray(pts))
+        return True
+
+    # -------------------------------------------------------- map extension
+    def _extend_map(self, uv_p: np.ndarray, desc_p: np.ndarray,
+                    pose: np.ndarray, matched: np.ndarray,
+                    frame_idx: int) -> None:
+        """Triangulate NEW landmarks between this frame and the last keyframe
+        for keypoints that did not match the map, then promote this frame to
+        keyframe. All device steps are fixed-capacity (cap x cap match)."""
+        kf = self._last_kf
+        self._last_kf = (pose, uv_p, desc_p, frame_idx)
+        if kf is None:
+            return
+        kf_pose, kf_uv, kf_desc, kf_idx = kf
+        space = self.config.max_landmarks - int(self.map.count)
+        if space <= 0:
+            return
+        cap = self.config.max_obs_per_frame
+        q = Descriptors(bits=jnp.asarray(desc_p),
+                        count=jnp.asarray(cap, jnp.int32))
+        tr = Descriptors(bits=jnp.asarray(kf_desc),
+                         count=jnp.asarray(cap, jnp.int32))
+        m = bruteforce.match(q, tr, knn=2)
+        ok = np.array(bruteforce.lowe_ratio_mask(m, self.config.match_ratio))
+        ok &= ~matched  # only keypoints the map does not explain
+        if not ok.any():
+            return
+        ti = np.array(m.train_idx)[:, 0]
+        tri = np.array(triangulate_batch(
+            jnp.asarray(kf_pose), jnp.asarray(pose), self.intr,
+            jnp.asarray(kf_uv[ti]), jnp.asarray(uv_p)))
+        # cheirality + sane depth in the new camera
+        depth_new = np.array(jax.vmap(
+            lambda p: point_depth(jnp.asarray(pose), p))(jnp.asarray(tri)))
+        good = ok & np.isfinite(tri).all(1) & (depth_new > 0.05) \
+            & (depth_new < 1e3)
+        if good.any():
+            lids = self._add_landmarks(tri[good], desc_p[good])
+            gi = np.flatnonzero(good)[:len(lids)]
+            for lid, g in zip(lids, gi):
+                self._obs.append((kf_idx, int(lid), kf_uv[ti[g]]))
+                self._obs.append((frame_idx, int(lid), uv_p[g]))
 
     # ------------------------------------------------------- image-level
     def initialize(self, img1, img2) -> bool:

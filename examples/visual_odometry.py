@@ -1,0 +1,72 @@
+"""Monocular visual odometry demo with trajectory rendering + checkpointing.
+
+Runs the full image-level VO pipeline (ORB frontend -> map matching -> PnP,
+slam/vo.py) over either a TUM-format sequence directory or a synthetic
+landmark scene, reports scale-aligned ATE RMSE, renders a top-down
+trajectory image, and snapshots resumable state.
+
+Usage:
+  python examples/visual_odometry.py                       # synthetic
+  python examples/visual_odometry.py <tum_seq_dir> [n]     # TUM rgb sequence
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from compv_tpu.io import checkpoint, datasets, image as image_io
+from compv_tpu.slam import camera, vo
+from compv_tpu import viz
+
+
+def run_synthetic(n_frames=10):
+    frames, gt, (fx, fy, cx, cy) = datasets.synthetic_sequence(
+        n_frames=n_frames, n_landmarks=500)
+    intr = camera.Intrinsics.make(fx, fy, cx, cy)
+    odo = vo.VisualOdometry(intr, vo.VOConfig(
+        orb=vo.VOConfig().orb, min_track_inliers=10))
+    ok = odo.initialize(frames[0], frames[1])
+    print("init:", ok)
+    for f in range(2, len(frames)):
+        tracked = odo.track(frames[f])
+        refined = tracked and f % 3 == 0 and odo.refine()
+        print(f"frame {f}: tracked={tracked} refined={bool(refined)}")
+    est = odo.positions()
+    n = min(len(est), len(gt))
+    err = vo.ate_rmse(est[:n], gt[:n])
+    print(f"frames tracked: {len(est)}/{len(frames)}  ATE RMSE "
+          f"(scale-aligned): {err:.4f} m")
+    canvas = viz.draw_trajectory(est, gt=gt[:n])
+    image_io.imwrite("trajectory.png", canvas)
+    checkpoint.save_vo("vo_state.npz", odo)
+    print("wrote trajectory.png, vo_state.npz")
+    return err
+
+
+def run_tum(seq_dir, n_frames=50):
+    ts, paths = datasets.load_tum_rgb_list(seq_dir)
+    gt_ts, gt_pos = datasets.load_tum_trajectory(
+        os.path.join(seq_dir, "groundtruth.txt"))
+    pairs = datasets.associate(ts[:n_frames], gt_ts)
+    intr = camera.Intrinsics.make(517.3, 516.5, 318.6, 255.3)  # TUM fr1
+    odo = vo.VisualOdometry(intr)
+    imgs = [image_io.imread(paths[i], gray=True) for i, _ in pairs]
+    ok = odo.initialize(imgs[0], imgs[1])
+    print("init:", ok)
+    for f in range(2, len(imgs)):
+        odo.track(imgs[f])
+    est = odo.positions()
+    gt = gt_pos[[j for _, j in pairs]][:len(est)]
+    err = vo.ate_rmse(est, gt)
+    print(f"TUM ATE RMSE (scale-aligned, {len(est)} frames): {err:.4f} m")
+    image_io.imwrite("trajectory.png", viz.draw_trajectory(est, gt=gt))
+    return err
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]):
+        run_tum(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 50)
+    else:
+        run_synthetic()

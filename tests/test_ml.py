@@ -116,3 +116,16 @@ class TestKNN:
         l1, _ = knn.search(idx, jnp.asarray(v[5]), k=2)
         l2, _ = knn.search(idx2, jnp.asarray(v[5]), k=2)
         np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+class TestSVMMulticlass:
+    def test_three_blobs(self):
+        rng = np.random.default_rng(3)
+        centers = np.array([[0, 0], [6, 0], [0, 6]])
+        x = np.concatenate([rng.normal(size=(60, 2)) + c for c in centers]
+                           ).astype(np.float32)
+        y = np.repeat([0, 1, 2], 60).astype(np.int32)
+        mc = svm.train_multiclass(jnp.asarray(x), y, c=1.0)
+        assert len(mc.models) == 3  # 3 choose 2
+        pred = svm.predict_multiclass(mc, jnp.asarray(x))
+        assert (pred == y).mean() > 0.95

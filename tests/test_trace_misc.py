@@ -35,3 +35,34 @@ class TestGamma:
         out = histogram.gamma_correct(jnp.asarray(img), 0.5)
         want = np.clip(np.round(255.0 * (img / 255.0) ** 0.5), 0, 255)
         np.testing.assert_allclose(np.asarray(out), want, atol=1)
+
+
+class TestBits:
+    def test_ops_match_numpy(self, rng):
+        import jax
+        from compv_tpu.ops import bits
+        a = jnp.asarray(rng.integers(0, 256, (16, 16), np.uint8))
+        b = jnp.asarray(rng.integers(0, 256, (16, 16), np.uint8))
+        np.testing.assert_array_equal(np.asarray(bits.bits_and(a, b)),
+                                      np.asarray(a) & np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(bits.bits_not_and(a, b)),
+                                      (~np.asarray(a)) & np.asarray(b))
+        np.testing.assert_array_equal(
+            np.asarray(bits.popcount(a)),
+            np.unpackbits(np.asarray(a)[..., None], axis=2).sum(2))
+
+    def test_popcount_total(self):
+        from compv_tpu.ops import bits
+        a = jnp.asarray([0b1011, 0b1, 0], jnp.uint32)
+        assert int(bits.popcount_total(a)) == 4
+
+
+class TestFlann:
+    def test_delegates_to_bruteforce(self, rng):
+        from compv_tpu.matchers import flann
+        from compv_tpu.core.types import Descriptors
+        b = jnp.asarray(rng.integers(0, 2**32, (8, 8), dtype=np.uint64)
+                        .astype(np.uint32))
+        d = Descriptors(bits=b, count=jnp.asarray(8, jnp.int32))
+        m = flann.match(d, d, knn=2)
+        assert (np.asarray(m.distance)[:, 0] == 0).all()

@@ -69,3 +69,30 @@ class TestVO:
             q[:, 0] *= -1  # proper rotation
         est = 2.5 * gt @ q + 7.0
         assert vo.ate_rmse(est, gt) < 1e-5
+
+    def test_refine_reduces_cost(self, scene):
+        """Windowed BA refine() must not worsen the trajectory and must
+        leave finite state."""
+        intr, frames, gt = scene
+        odo = vo.VisualOdometry(intr, vo.VOConfig())
+        uv0, d0 = frames[0]
+        uv1, d1 = frames[1]
+        key0 = d0[:, 0].astype(np.int64)
+        key1 = d1[:, 0].astype(np.int64)
+        _, i0, i1 = np.intersect1d(key0, key1, return_indices=True)
+        assert odo.initialize_pair(uv0[i0], uv1[i1], d1[i1])
+        for f in range(2, 6):
+            uv, d = frames[f]
+            assert odo.track_correspondences(uv, d)
+        est_before = odo.positions()
+        assert odo.refine(window=4)
+        est_after = odo.positions()
+        assert np.isfinite(est_after).all()
+        gt_pos = []
+        for wt in gt[:len(est_after)]:
+            inv = np.array(camera.se3_inverse(jnp.asarray(wt)))
+            gt_pos.append(inv[3:])
+        gt_pos = np.stack(gt_pos)
+        err_b = vo.ate_rmse(est_before, gt_pos)
+        err_a = vo.ate_rmse(est_after, gt_pos)
+        assert err_a <= err_b * 1.5, (err_b, err_a)  # no catastrophic change
