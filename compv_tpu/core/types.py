@@ -179,7 +179,11 @@ class Matches:
         return self.train_idx.shape[1]
 
 
-PAD_DISTANCE = jnp.int32(2 ** 30)
+# Python int, NOT jnp.int32(...): a module-level device scalar gets captured
+# into every jit closure as a committed device constant, which on the axon
+# remote-TPU runtime degrades all subsequent dispatches in the process
+# (measured: 0.03ms ops become 23ms after one program embedding it runs).
+PAD_DISTANCE = 2 ** 30
 
 
 def concat_points(a: Points, b: Points) -> Points:

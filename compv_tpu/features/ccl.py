@@ -51,24 +51,65 @@ def _neighbor_min(lbl: jax.Array, fg: jax.Array, connectivity: int) -> jax.Array
     return jnp.where(fg, out, big)
 
 
+def _segmented_min_scan(v: jax.Array, isbg: jax.Array, axis: int,
+                        reverse: bool) -> jax.Array:
+    """Running min along `axis` that resets at background pixels: each
+    foreground pixel receives the min label of its contiguous run so far.
+    Associative (value, boundary) operator -> one log-depth scan."""
+
+    def op(a, b):
+        av, ag = a
+        bv, bg = b
+        return (jnp.where(bg, bv, jnp.minimum(av, bv)), ag | bg)
+
+    out, _ = jax.lax.associative_scan(op, (v, isbg), axis=axis,
+                                      reverse=reverse)
+    return out
+
+
+def _sweep(lbl: jax.Array, fg: jax.Array, connectivity: int,
+           big) -> jax.Array:
+    """One propagation sweep: segmented min-scans along rows and columns
+    (labels travel the full run length in log depth — the reason this
+    converges in O(component turns), not O(component diameter)) plus one
+    diagonal neighbor-min for 8-connectivity."""
+    isbg = ~fg
+    m = lbl
+    m = jnp.minimum(m, _segmented_min_scan(m, isbg, 1, False))
+    m = jnp.minimum(m, _segmented_min_scan(m, isbg, 1, True))
+    m = jnp.minimum(m, _segmented_min_scan(m, isbg, 0, False))
+    m = jnp.minimum(m, _segmented_min_scan(m, isbg, 0, True))
+    if connectivity == 8:
+        m = _neighbor_min(m, fg, 8)
+    return jnp.where(fg, m, big)
+
+
 @functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
 def label(binary: jax.Array, connectivity: int = 8,
-          max_iters: int = 4096) -> jax.Array:
+          max_iters: int = 512, init: jax.Array = None) -> jax.Array:
     """(H, W) int32 labels: foreground pixels share their component root's
-    linear index; background = H*W (sentinel)."""
+    linear index; background = H*W (sentinel).
+
+    ``init`` warm-starts the propagation (used by the MSER level sweep:
+    labels of the previous threshold level are valid initial values because
+    its components are subsets of this level's and roots are pixel indices).
+    """
+    from ..kernels.dispatch import pallas_enabled
+    if pallas_enabled():
+        from ..kernels.ccl_scan import label_pallas
+        return label_pallas(binary, connectivity=connectivity, init=init)
     h, w = binary.shape
     fg = binary > 0
     big = jnp.int32(h * w)
-    init = jnp.where(fg, jnp.arange(h * w, dtype=jnp.int32).reshape(h, w), big)
+    idx = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    if init is None:
+        lbl0 = jnp.where(fg, idx, big)
+    else:
+        lbl0 = jnp.where(fg, jnp.minimum(init, idx), big)
 
     def body(state):
         lbl, _, it = state
-        new = _neighbor_min(lbl, fg, connectivity)
-        # pointer jump: follow the label one hop (path halving); the sentinel
-        # self-points via a trailing entry
-        flat = jnp.concatenate([new.reshape(-1), jnp.asarray([big])])
-        jumped = flat[new.reshape(-1)].reshape(h, w)
-        new = jnp.where(fg, jnp.minimum(new, jumped), big)
+        new = _sweep(lbl, fg, connectivity, big)
         changed = jnp.any(new != lbl)
         return new, changed, it + 1
 
@@ -77,7 +118,7 @@ def label(binary: jax.Array, connectivity: int = 8,
         return changed & (it < max_iters)
 
     lbl, _, _ = jax.lax.while_loop(
-        cond, body, (init, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
+        cond, body, (lbl0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
     return lbl
 
 

@@ -34,6 +34,48 @@ from . import ccl
 from .hough_sht import HoughLines
 
 
+def _batched_label(tiles: jax.Array, max_iters: int) -> jax.Array:
+    """8-connected min-label propagation over a batch of small tiles,
+    (B, t, t) uint8 -> (B, t, t) int32 local labels (background = t*t).
+    Rolls + wrap masks only — dynamic_slice forces relayout copies on TPU
+    and a Pallas launch per tiny tile would be all overhead."""
+    b, tt, _ = tiles.shape
+    fg = tiles > 0
+    big = jnp.int32(tt * tt)
+    idx = jnp.arange(tt * tt, dtype=jnp.int32).reshape(tt, tt)
+    lbl0 = jnp.where(fg, idx[None], big)
+    rows = jnp.arange(tt)[None, :, None]
+    cols = jnp.arange(tt)[None, None, :]
+
+    def step(state):
+        lbl, _, it = state
+        m = lbl
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dy, dx) == (0, 0):
+                    continue
+                t = jnp.roll(jnp.roll(lbl, -dy, axis=1), -dx, axis=2)
+                ok = jnp.ones((1, tt, tt), bool)
+                if dy == 1:
+                    ok = ok & (rows < tt - 1)
+                if dy == -1:
+                    ok = ok & (rows > 0)
+                if dx == 1:
+                    ok = ok & (cols < tt - 1)
+                if dx == -1:
+                    ok = ok & (cols > 0)
+                m = jnp.minimum(m, jnp.where(ok, t, big))
+        new = jnp.where(fg, m, big)
+        return new, jnp.any(new != lbl), it + 1
+
+    def cond(state):
+        return state[1] & (state[2] < max_iters)
+
+    lbl, _, _ = jax.lax.while_loop(
+        cond, step, (lbl0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
+    return lbl
+
+
 def _tiled_labels(binary: jax.Array, tile: int) -> jax.Array:
     """Connected-component labels computed independently per (tile x tile)
     block — the TPU-native version of KHT's subdivision of linked strings
@@ -48,8 +90,7 @@ def _tiled_labels(binary: jax.Array, tile: int) -> jax.Array:
     tiles = binary[: ty * tile, : tx * tile] \
         .reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3) \
         .reshape(ty * tx, tile, tile)
-    local = jax.vmap(lambda b: ccl.label(b, connectivity=8,
-                                         max_iters=4 * tile))(tiles)
+    local = _batched_label(tiles, max_iters=4 * tile)
     # globalize: local labels < tile*tile; background tile*tile
     tile_ids = jnp.arange(ty * tx, dtype=jnp.int32)[:, None, None]
     glob = jnp.where(local < tile * tile,

@@ -66,17 +66,22 @@ def mser(img: jax.Array, config: MSERConfig = MSERConfig()) -> MSERRegions:
     t_count = int(levels.shape[0])
     d = config.delta
 
-    def per_level(lv):
-        lbl = ccl.label((x <= lv).astype(jnp.uint8), config.connectivity)
+    def per_level(prev_lbl, lv):
+        # warm start from the previous (nested, smaller) level's labels:
+        # roots are pixel indices that stay foreground as the mask grows,
+        # so they are valid initial values — convergence in ~1 sweep/level
+        lbl = ccl.label((x <= lv).astype(jnp.uint8), config.connectivity,
+                        init=prev_lbl)
         flat = lbl.reshape(-1)
         fg = flat < n
         seg = jnp.where(fg, flat, n)
         hist = jax.ops.segment_sum(fg.astype(jnp.int32), seg,
                                    num_segments=n + 1)
         area_pp = jnp.where(fg, hist[jnp.minimum(flat, n)], 0)
-        return lbl, area_pp.reshape(h, w)
+        return lbl, (lbl, area_pp.reshape(h, w))
 
-    labels, areas = jax.lax.map(per_level, levels)   # (T,H,W) each
+    init_lbl = jnp.full((h, w), n, jnp.int32)
+    _, (labels, areas) = jax.lax.scan(per_level, init_lbl, levels)
 
     af = areas.astype(jnp.float32)
     lo = jnp.concatenate([jnp.repeat(af[:1], d, 0), af[:-d]])

@@ -34,6 +34,10 @@ def structuring_element(kind: str, h: int, w: int) -> np.ndarray:
 
 
 def _morph(img: jax.Array, strel: np.ndarray, is_erode: bool) -> jax.Array:
+    from ..kernels.dispatch import pallas_enabled
+    if pallas_enabled() and img.ndim == 2 and img.dtype == jnp.uint8:
+        from ..kernels.morph import morph_pallas
+        return morph_pallas(img, np.asarray(strel, bool), is_erode)
     h, w = strel.shape
     pad_h, pad_w = h // 2, w // 2
     if is_erode:
