@@ -96,6 +96,52 @@ class ImageSequenceReader:
             yield image_io.imread(p, gray=self.gray)
 
 
+class RawVideoWriter:
+    """Append raw frames to a single blob file (the reference's video writer
+    is an EMPTY stub — core/video writer, 0 lines; this one works).
+    fmt 'gray': (H, W) uint8 frames; 'i420': (y, u, v) plane tuples."""
+
+    def __init__(self, path: str, fmt: str = "gray"):
+        self.fmt = fmt
+        self._f = open(path, "wb")
+        self.frames_written = 0
+
+    def write(self, frame) -> None:
+        if self.fmt == "gray":
+            self._f.write(np.ascontiguousarray(frame, np.uint8).tobytes())
+        else:
+            y, u, v = frame
+            for p in (y, u, v):
+                self._f.write(np.ascontiguousarray(p, np.uint8).tobytes())
+        self.frames_written += 1
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class ImageSequenceWriter:
+    """Numbered image files in a directory (PGM/PNG by extension)."""
+
+    def __init__(self, directory: str, pattern: str = "{:06d}.pgm"):
+        os.makedirs(directory, exist_ok=True)
+        self.directory = directory
+        self.pattern = pattern
+        self.frames_written = 0
+
+    def write(self, frame) -> str:
+        path = os.path.join(self.directory,
+                            self.pattern.format(self.frames_written))
+        image_io.imwrite(path, np.asarray(frame))
+        self.frames_written += 1
+        return path
+
+
 class FfmpegReader:
     """Container video via `ffmpeg` subprocess -> raw gray frames.
     Raises at construction when ffmpeg is absent (this image has none)."""

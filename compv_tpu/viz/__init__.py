@@ -8,4 +8,4 @@ SURVEY §7 keeps it host-side and minimal. These helpers rasterize results
 io.image and viewable anywhere; matplotlib is optional sugar.
 """
 from .draw import (draw_points, draw_lines, draw_matches, draw_boxes,
-                   draw_trajectory, to_rgb)  # noqa: F401
+                   draw_text, draw_trajectory, to_rgb)  # noqa: F401

@@ -114,6 +114,50 @@ def draw_matches(img1, xy1, img2, xy2, train_idx, mask=None,
     return canvas
 
 
+# minimal 5x7 bitmap glyphs for labels (reference drawTexts uses freetype +
+# GL; result-annotation only needs digits/letters/punctuation)
+_GLYPHS = {
+    "0": "01110 10001 10011 10101 11001 10001 01110",
+    "1": "00100 01100 00100 00100 00100 00100 01110",
+    "2": "01110 10001 00001 00010 00100 01000 11111",
+    "3": "11110 00001 00001 01110 00001 00001 11110",
+    "4": "00010 00110 01010 10010 11111 00010 00010",
+    "5": "11111 10000 11110 00001 00001 10001 01110",
+    "6": "00110 01000 10000 11110 10001 10001 01110",
+    "7": "11111 00001 00010 00100 01000 01000 01000",
+    "8": "01110 10001 10001 01110 10001 10001 01110",
+    "9": "01110 10001 10001 01111 00001 00010 01100",
+    ".": "00000 00000 00000 00000 00000 00110 00110",
+    "-": "00000 00000 00000 11111 00000 00000 00000",
+    ":": "00000 00110 00110 00000 00110 00110 00000",
+    " ": "00000 00000 00000 00000 00000 00000 00000",
+    "x": "00000 00000 10001 01010 00100 01010 10001",
+    "f": "00110 01000 01000 11100 01000 01000 01000",
+    "p": "00000 00000 11110 10001 11110 10000 10000",
+    "s": "00000 00000 01111 10000 01110 00001 11110",
+    "m": "00000 00000 11010 10101 10101 10101 10101",
+}
+
+
+def draw_text(img, text: str, x: int, y: int, color=GREEN,
+              scale: int = 1) -> np.ndarray:
+    """Rasterize a small label at (x, y) top-left (reference drawTexts)."""
+    canvas = to_rgb(img)
+    h, w = canvas.shape[:2]
+    cx = x
+    for ch in str(text):
+        rows = _GLYPHS.get(ch, _GLYPHS[" "]).split()
+        for gy, row in enumerate(rows):
+            for gx, bit in enumerate(row):
+                if bit == "1":
+                    y0 = y + gy * scale
+                    x0 = cx + gx * scale
+                    canvas[max(0, y0):min(h, y0 + scale),
+                           max(0, x0):min(w, x0 + scale)] = color
+        cx += 6 * scale
+    return canvas
+
+
 def draw_trajectory(positions, size: int = 512, margin: int = 24,
                     gt: Optional[np.ndarray] = None) -> np.ndarray:
     """Top-down (x, z) trajectory plot as an image (SLAM inspection)."""

@@ -192,3 +192,34 @@ class TestViz:
         c = viz.draw_trajectory(pos, size=128)
         assert c.shape == (128, 128, 3)
         assert (c != 255).any()  # something was drawn
+
+
+class TestVideoWriter:
+    def test_raw_roundtrip(self, tmp_path, rng):
+        from compv_tpu.io.video import RawVideoReader, RawVideoWriter
+        frames = [rng.integers(0, 256, (12, 16), dtype=np.uint8)
+                  for _ in range(4)]
+        p = str(tmp_path / "out.raw")
+        with RawVideoWriter(p, fmt="gray") as wtr:
+            for f in frames:
+                wtr.write(f)
+        r = RawVideoReader(p, 16, 12, fmt="gray")
+        got = list(r)
+        assert len(got) == 4
+        for a, b in zip(got, frames):
+            np.testing.assert_array_equal(a, b)
+
+    def test_image_sequence_writer(self, tmp_path, rng):
+        from compv_tpu.io.video import (ImageSequenceReader,
+                                        ImageSequenceWriter)
+        w = ImageSequenceWriter(str(tmp_path / "seq"))
+        paths = [w.write(np.full((8, 10), i * 20, np.uint8))
+                 for i in range(3)]
+        r = ImageSequenceReader(paths)
+        got = list(r)
+        assert [int(g[0, 0]) for g in got] == [0, 20, 40]
+
+    def test_draw_text(self):
+        c = viz.draw_text(np.zeros((20, 80), np.uint8), "12.5 fps", 2, 2)
+        assert c.shape == (20, 80, 3)
+        assert (c != 0).any()
