@@ -1,1 +1,2 @@
-from . import fast, brief, orb, edges, canny, hog, hough_sht, hough_kht, ccl  # noqa: F401
+from . import (fast, brief, orb, edges, canny, hog, hough_sht,
+               hough_kht, ccl, mser)  # noqa: F401

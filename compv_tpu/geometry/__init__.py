@@ -1,1 +1,2 @@
-from . import linalg, transform, ransac, homography, essential, calib, lm  # noqa: F401
+from . import (linalg, transform, ransac, homography, essential,
+               calib, lm, statsfit)  # noqa: F401

@@ -151,6 +151,15 @@ def undistort_maps(intr: Intrinsics, h: int, w: int):
     return intr.fx * xn * d + intr.cx, intr.fy * yn * d + intr.cy
 
 
+def undistort_image(img: jax.Array, intr: Intrinsics) -> jax.Array:
+    """Undistort an image with the radial model (reference undist2DImage,
+    calib_utils.cxx): undistortion maps + bilinear remap."""
+    from ..ops.remap import remap
+    h, w = img.shape[:2]
+    map_x, map_y = undistort_maps(intr, h, w)
+    return remap(img, map_x, map_y)
+
+
 def chessboard_corners_from_lines(rho: np.ndarray, theta: np.ndarray,
                                   n_rows: int, n_cols: int):
     """Host-side helper: group Hough lines into two orthogonal families by

@@ -160,6 +160,32 @@ def inv3x3(a: jax.Array) -> jax.Array:
     return jnp.where(safe, inv, pseudoinv(a))
 
 
+def inv_diag(a: jax.Array) -> jax.Array:
+    """Inverse of a diagonal matrix (reference invD,
+    compv_math_matrix.cxx): reciprocal of the diagonal, zeros elsewhere."""
+    d = jnp.diagonal(a)
+    inv = jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 0.0)
+    return jnp.diag(inv)
+
+
+def is_colinear_2d(pts: jax.Array, tol: float = 1e-6) -> jax.Array:
+    """True if all (N, 2) points lie on one line (reference isColinear2D):
+    rank of the centered scatter < 2."""
+    c = pts.astype(jnp.float32) - jnp.mean(pts, axis=0)
+    s = c.T @ c
+    det = s[0, 0] * s[1, 1] - s[0, 1] * s[1, 0]
+    return det <= tol * jnp.maximum(jnp.trace(s) ** 2, 1e-12)
+
+
+def is_colinear_3d(pts: jax.Array, tol: float = 1e-6) -> jax.Array:
+    """True if all (N, 3) points lie on one line (reference isColinear3D):
+    the centered scatter has <= 1 significant eigenvalue."""
+    c = pts.astype(jnp.float32) - jnp.mean(pts, axis=0)
+    s = c.T @ c
+    vals, _ = eigh_jacobi(s, sweeps=10, sort=True)  # ascending
+    return vals[1] <= tol * jnp.maximum(vals[2], 1e-12)
+
+
 def is_symmetric(a: jax.Array, tol: float = 1e-5) -> jax.Array:
     return jnp.max(jnp.abs(a - a.T)) <= tol
 

@@ -1,1 +1,1 @@
-from . import bruteforce  # noqa: F401
+from . import bruteforce, flann  # noqa: F401

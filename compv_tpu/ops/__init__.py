@@ -1,1 +1,2 @@
-from . import color, convolve, histogram, mathutils, morphology, remap, resize, threshold  # noqa: F401
+from . import (color, convolve, histogram, mathutils, morphology,
+               remap, resize, threshold, bits)  # noqa: F401

@@ -21,11 +21,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (SURVEY §7 step 6: mesh over {hosts x chips}).
+    On GCE TPU pods jax.distributed.initialize() autodetects everything;
+    pass explicit args elsewhere. Safe to call once per process before any
+    device use; no-op if already initialized."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized
+
+
 def make_mesh(shape: Optional[Tuple[int, ...]] = None,
               axis_names: Sequence[str] = ("data",),
               devices=None) -> Mesh:
-    """Build a mesh over the available devices. Default: 1-D "data" mesh over
-    all devices."""
+    """Build a mesh over the available devices (across ALL hosts when
+    jax.distributed is initialized — jax.devices() is global). Default:
+    1-D "data" mesh over all devices.
+
+    For {hosts x chips} meshes pass shape=(n_hosts, chips_per_host) with
+    axis_names=("dcn", "ici") and keep heavy collectives on the "ici" axis —
+    jax orders jax.devices() host-major, so this reshape puts the fast
+    interconnect on the inner axis."""
     devs = np.asarray(devices if devices is not None else jax.devices())
     if shape is None:
         shape = (devs.size,)

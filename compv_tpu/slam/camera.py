@@ -21,8 +21,11 @@ class Intrinsics(NamedTuple):
     fy: jax.Array
     cx: jax.Array
     cy: jax.Array
-    k1: jax.Array = jnp.float32(0.0)
-    k2: jax.Array = jnp.float32(0.0)
+    # Python-float defaults, NOT jnp scalars: NamedTuple defaults evaluate at
+    # import time, and device arrays captured into jit closures degrade all
+    # later dispatches on the axon runtime (see CLAUDE.md gotcha #1)
+    k1: jax.Array = 0.0
+    k2: jax.Array = 0.0
 
     @classmethod
     def make(cls, fx, fy, cx, cy, k1=0.0, k2=0.0):

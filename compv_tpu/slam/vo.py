@@ -16,6 +16,7 @@ schedules which jitted step runs next (initialize / track / refine).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -44,6 +45,72 @@ class VOConfig:
                                            threshold=2e-5)
     ba: BAConfig = BAConfig(max_iters=8)
     orb: OrbConfig = OrbConfig(levels=4, max_features=512)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _track_step(img, map_points, map_desc, map_count,
+                kf_pose, kf_uv, kf_desc, key, intr,
+                config: "VOConfig"):
+    """The WHOLE per-frame compute as one compiled program: ORB frontend ->
+    map matching -> RANSAC PnP -> keyframe matching + triangulation for map
+    extension. One program = one host round trip per frame — each
+    device->host transfer costs tens of ms over the remote-TPU tunnel, and
+    the reference's per-frame loop (samples/object_recognition/main.cxx:229)
+    maps exactly onto this fused step."""
+    p, d = orb_detect_describe(img, config.orb)
+    tr = Descriptors(bits=map_desc, count=map_count)
+    m = bruteforce.match(d, tr, knn=2)
+    good = bruteforce.lowe_ratio_mask(m, config.match_ratio)
+    ti = m.train_idx[:, 0]
+    res = pnp.solve_pnp(key, map_points[ti], p.xy, intr,
+                        valid_mask=good, config=config.ransac)
+    # extension candidates: match vs the last keyframe, triangulate
+    cap = kf_desc.shape[0]
+    kf = Descriptors(bits=kf_desc, count=jnp.asarray(cap, jnp.int32))
+    mk = bruteforce.match(d, kf, knn=2)
+    ok = bruteforce.lowe_ratio_mask(mk, config.match_ratio) & ~good
+    ti2 = mk.train_idx[:, 0]
+    tri = triangulate_batch(kf_pose, res.pose, intr, kf_uv[ti2], p.xy)
+    depth = jax.vmap(lambda pt: point_depth(res.pose, pt))(tri)
+    return (p.xy, d.bits, p.count, good, ti, res.pose, res.inlier_mask,
+            res.num_inliers, ok, tri, depth)
+
+
+@jax.jit
+def _insert_landmarks(m: "VOMap", new_pts, new_desc, new_mask):
+    """Device-side fixed-capacity map insertion: compact the masked new
+    rows (stable order) and append at m.count. No host transfers — the
+    host-side _add_landmarks round-trips the whole map over the tunnel."""
+    L = m.points.shape[0]
+    cap = new_pts.shape[0]
+    order = jnp.argsort(~new_mask, stable=True)      # valid rows first
+    sp = new_pts[order]
+    sd = new_desc[order]
+    n = jnp.minimum(jnp.sum(new_mask).astype(jnp.int32), L - m.count)
+    rows = jnp.arange(L, dtype=jnp.int32)
+    newpos = rows - m.count
+    take = (newpos >= 0) & (newpos < n)
+    src = jnp.clip(newpos, 0, cap - 1)
+    points = jnp.where(take[:, None], sp[src], m.points)
+    desc = jnp.where(take[:, None], sd[src], m.desc)
+    valid = m.valid | take
+    return VOMap(points=points, desc=desc, valid=valid, count=m.count + n)
+
+
+@functools.partial(jax.jit, static_argnames=("ratio",))
+def _extend_compute(desc_p, kf_desc, kf_pose, pose, kf_uv, uv_p, intr,
+                    ratio: float):
+    """Match current frame vs keyframe, triangulate, depth-check — one
+    compiled program so the host does a single device_get."""
+    cap = desc_p.shape[0]
+    q = Descriptors(bits=desc_p, count=jnp.asarray(cap, jnp.int32))
+    tr = Descriptors(bits=kf_desc, count=jnp.asarray(cap, jnp.int32))
+    m = bruteforce.match(q, tr, knn=2)
+    ok = bruteforce.lowe_ratio_mask(m, ratio)
+    ti = m.train_idx[:, 0]
+    tri = triangulate_batch(kf_pose, pose, intr, kf_uv[ti], uv_p)
+    depth = jax.vmap(lambda p: point_depth(pose, p))(tri)
+    return ok, ti, tri, depth
 
 
 class VOMap(NamedTuple):
@@ -144,8 +211,9 @@ class VisualOdometry:
         wt1 = jnp.zeros(6)
         tri = triangulate_batch(wt1, wt2, self.intr,
                                 jnp.asarray(uv1), jnp.asarray(uv2))
-        mask = np.array(res.inlier_mask) & vmask
-        pts = np.array(tri)
+        # single device->host transfer (tunnel round trips are expensive)
+        inlier_mask, pts, wt2 = jax.device_get((res.inlier_mask, tri, wt2))
+        mask = inlier_mask & vmask
         good = mask & (pts[:, 2] > 0.05) & (pts[:, 2] < 1e3)
         if good.sum() < 16:
             return False
@@ -178,22 +246,27 @@ class VisualOdometry:
                         count=jnp.asarray(n, jnp.int32))
         tr = Descriptors(bits=self.map.desc, count=self.map.count)
         m = bruteforce.match(q, tr, knn=2)
-        good = np.array(bruteforce.lowe_ratio_mask(m, self.config.match_ratio))
-        ti = np.array(m.train_idx)[:, 0]
+        # ONE device->host transfer (each jax->numpy round trip costs tens
+        # of ms over the remote-TPU tunnel; never transfer piecemeal)
+        good, ti, map_pts = jax.device_get(
+            (bruteforce.lowe_ratio_mask(m, self.config.match_ratio),
+             m.train_idx[:, 0], self.map.points))
         if good.sum() < self.config.min_track_inliers:
             return False
         # keep static shapes: full padded arrays + validity mask into PnP
-        pts3d = np.array(self.map.points)[ti]      # (cap, 3)
+        pts3d = map_pts[ti]                        # (cap, 3)
         res = pnp.solve_pnp(self._split(), jnp.asarray(pts3d),
                             jnp.asarray(uv_p), self.intr,
                             valid_mask=jnp.asarray(good),
                             config=self.config.ransac)
-        if int(res.num_inliers) < self.config.min_track_inliers:
+        num_inl, pose, inlier_mask = jax.device_get(
+            (res.num_inliers, res.pose, res.inlier_mask))
+        if int(num_inl) < self.config.min_track_inliers:
             return False
-        pose = np.array(res.pose, np.float32)
+        pose = np.asarray(pose, np.float32)
         self.trajectory.append(pose)
         fidx = len(self.trajectory) - 1
-        inl = np.array(res.inlier_mask) & good
+        inl = inlier_mask & good
         for i in np.flatnonzero(inl):
             self._obs.append((fidx, int(ti[i]), uv_p[i]))
         self._extend_map(uv_p, desc_p, pose, matched=good, frame_idx=fidx)
@@ -266,23 +339,16 @@ class VisualOdometry:
         space = self.config.max_landmarks - int(self.map.count)
         if space <= 0:
             return
-        cap = self.config.max_obs_per_frame
-        q = Descriptors(bits=jnp.asarray(desc_p),
-                        count=jnp.asarray(cap, jnp.int32))
-        tr = Descriptors(bits=jnp.asarray(kf_desc),
-                         count=jnp.asarray(cap, jnp.int32))
-        m = bruteforce.match(q, tr, knn=2)
-        ok = np.array(bruteforce.lowe_ratio_mask(m, self.config.match_ratio))
-        ok &= ~matched  # only keypoints the map does not explain
+        # one fused device program + ONE transfer (tunnel round trips are
+        # ~50ms each; eager per-op dispatch here used to cost seconds/frame)
+        ok, ti, tri, depth_new = jax.device_get(_extend_compute(
+            jnp.asarray(desc_p), jnp.asarray(kf_desc),
+            jnp.asarray(kf_pose), jnp.asarray(pose),
+            jnp.asarray(kf_uv), jnp.asarray(uv_p), self.intr,
+            ratio=self.config.match_ratio))
+        ok = ok & ~matched  # only keypoints the map does not explain
         if not ok.any():
             return
-        ti = np.array(m.train_idx)[:, 0]
-        tri = np.array(triangulate_batch(
-            jnp.asarray(kf_pose), jnp.asarray(pose), self.intr,
-            jnp.asarray(kf_uv[ti]), jnp.asarray(uv_p)))
-        # cheirality + sane depth in the new camera
-        depth_new = np.array(jax.vmap(
-            lambda p: point_depth(jnp.asarray(pose), p))(jnp.asarray(tri)))
         good = ok & np.isfinite(tri).all(1) & (depth_new > 0.05) \
             & (depth_new < 1e3)
         if good.any():
@@ -297,22 +363,51 @@ class VisualOdometry:
         p1, d1 = orb_detect_describe(jnp.asarray(img1), self.config.orb)
         p2, d2 = orb_detect_describe(jnp.asarray(img2), self.config.orb)
         m = bruteforce.match(d1, d2, knn=2)
-        good = np.array(bruteforce.lowe_ratio_mask(m, self.config.match_ratio))
-        n1 = int(p1.count)
-        good[n1:] = False
+        good, n1, ti, xy1, xy2, bits2 = jax.device_get(
+            (bruteforce.lowe_ratio_mask(m, self.config.match_ratio),
+             p1.count, m.train_idx[:, 0], p1.xy, p2.xy, d2.bits))
+        good = good.copy()
+        good[int(n1):] = False
         if good.sum() < 32:
             return False
-        ti = np.array(m.train_idx)[:, 0]
-        uv1 = np.array(p1.xy)[good]
-        uv2 = np.array(p2.xy)[ti[good]]
-        desc2 = np.array(d2.bits)[ti[good]]
-        return self.initialize_pair(uv1, uv2, desc2)
+        return self.initialize_pair(xy1[good], xy2[ti[good]],
+                                    bits2[ti[good]])
 
     def track(self, img) -> bool:
-        p, d = orb_detect_describe(jnp.asarray(img), self.config.orb)
-        n = int(p.count)
-        return self.track_correspondences(np.array(p.xy)[:n],
-                                          np.array(d.bits)[:n])
+        """Track one image frame: the whole ORB->match->PnP->extend compute
+        runs as ONE device program (_track_step); only the small decision
+        values cross the tunnel, keyframe state and the map stay on device."""
+        assert self._initialized
+        kf_pose, kf_uv, kf_desc, kf_idx = self._last_kf
+        (xy_d, bits_d, n_kp, good_d, ti_d, pose_d, inlier_d, num_inl_d,
+         ok_d, tri_d, depth_d) = _track_step(
+            jnp.asarray(img), self.map.points, self.map.desc, self.map.count,
+            jnp.asarray(kf_pose), jnp.asarray(kf_uv), jnp.asarray(kf_desc),
+            self._split(), self.intr, self.config)
+        # one transfer: decisions + obs data (device copies stay for kf/map)
+        xy, good, ti, pose, inlier_mask, num_inl, ok, tri, depth = \
+            jax.device_get((xy_d, good_d, ti_d, pose_d, inlier_d, num_inl_d,
+                            ok_d, tri_d, depth_d))
+        if (good.sum() < self.config.min_track_inliers
+                or int(num_inl) < self.config.min_track_inliers):
+            return False
+        self.trajectory.append(np.asarray(pose, np.float32))
+        fidx = len(self.trajectory) - 1
+        for i in np.flatnonzero(inlier_mask & good):
+            self._obs.append((fidx, int(ti[i]), xy[i]))
+        # map extension from the precomputed candidates (device-side insert)
+        self._last_kf = (pose_d, xy_d, bits_d, fidx)
+        count = int(self.map.count)
+        space = self.config.max_landmarks - count
+        new = ok & np.isfinite(tri).all(1) & (depth > 0.05) & (depth < 1e3)
+        if space > 0 and new.any():
+            self.map = _insert_landmarks(self.map, tri_d, bits_d,
+                                         jnp.asarray(new))
+            n_new = min(int(new.sum()), space)
+            gi = np.flatnonzero(new)[:n_new]
+            for lid, g in zip(range(count, count + n_new), gi):
+                self._obs.append((fidx, int(lid), xy[g]))
+        return True
 
     # ------------------------------------------------------------ metrics
     def positions(self) -> np.ndarray:
