@@ -167,17 +167,54 @@ def chessboard_corners_from_lines(rho: np.ndarray, theta: np.ndarray,
     (n_rows * n_cols, 2) corner grid (reference subdivision/grouping,
     calib_camera.cxx:789-1004). Returns None when families are incomplete."""
     theta = np.asarray(theta) % np.pi
+    rho = np.asarray(rho, np.float64).copy()
     fam_a = np.abs(np.sin(theta)) < 0.5           # near-vertical lines
     fam_b = ~fam_a
+    # canonicalize the vertical family across the theta = pi wrap:
+    # (rho, theta ~ pi) is the same line as (-rho, theta - pi)
+    theta = theta.copy()
+    wrap = fam_a & (theta > np.pi / 2)
+    rho[wrap] = -rho[wrap]
+    theta[wrap] -= np.pi
     if fam_a.sum() < n_cols or fam_b.sum() < n_rows:
         return None
+
     def pick(mask, n):
+        """Merge near-duplicate detections by rho, then keep the n INTERIOR
+        lines: a chessboard yields n+2 lines per family (n inner edges + 2
+        board boundaries, calib_camera.cxx grouping drops the borders)."""
         r = np.asarray(rho)[mask]
         t = theta[mask]
         order = np.argsort(r)
-        return r[order][:n], t[order][:n]
+        r, t = r[order], t[order]
+        gaps = np.diff(r)
+        if gaps.size:
+            # expected line spacing from the family span over n+2 lines;
+            # duplicate detections sit well below half of it
+            spacing = (r[-1] - r[0]) / max(n + 1, 1)
+            keep = np.concatenate([[True], gaps > 0.5 * spacing])
+            # average merged clusters
+            cl = np.cumsum(keep) - 1
+            r = np.asarray([r[cl == i].mean() for i in range(cl[-1] + 1)])
+            t = np.asarray([t[cl == i].mean() for i in range(cl[-1] + 1)])
+        if r.size == n + 2:
+            return r[1:-1], t[1:-1]
+        if r.size == n:
+            return r, t
+        if r.size < n:
+            return None, None
+        # ambiguous extra lines: take the most evenly spaced n-window
+        best, best_var = 0, np.inf
+        for s in range(r.size - n + 1):
+            v = np.var(np.diff(r[s:s + n]))
+            if v < best_var:
+                best, best_var = s, v
+        return r[best:best + n], t[best:best + n]
+
     ra, ta = pick(fam_a, n_cols)
     rb, tb = pick(fam_b, n_rows)
+    if ra is None or rb is None:
+        return None
     corners = np.zeros((n_rows, n_cols, 2), np.float32)
     for i in range(n_rows):
         for j in range(n_cols):
