@@ -154,6 +154,21 @@ def main():
     results["hog"] = timeit(
         jax.jit(lambda x: hog_mod.hog(x, HogConfig())), gray)
 
+    # ---- beyond-reference pipeline metrics (no reference counterpart) ----
+    from compv_tpu.core.config import OrbConfig
+    from compv_tpu.features.orb import orb_detect_describe
+    orb_cfg = OrbConfig(levels=8, max_features=2000)
+    orb_ms = timeit(jax.jit(lambda x: orb_detect_describe(x, orb_cfg)), gray)
+    d2k = Descriptors(bits=jnp.asarray(
+        rng.integers(0, 2 ** 32, (2000, 8), np.uint64).astype(np.uint32)),
+        count=jnp.asarray(2000, jnp.int32))
+    match2k_ms = timeit(
+        jax.jit(lambda a, b: bruteforce.match(a, b, knn=2)), d2k, d2k)
+    print("# pipeline (no reference number):")
+    print(f"{'orb_hd_8lvl_2000f':<18}{orb_ms:>10.4f} ms "
+          f"({1e3 / orb_ms:>7.0f} fps)")
+    print(f"{'match_knn2_2000':<18}{match2k_ms:>10.4f} ms")
+
     csv = "--csv" in sys.argv
     print(f"{'op':<18}{'ours ms':>10}{'ref ms':>10}{'speedup':>9}")
     total_logsp = 0.0

@@ -133,6 +133,26 @@ def strengths_to_points(strengths: jax.Array, max_features: int,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def fast_detect_batch(imgs: jax.Array,
+                      config: FastConfig = FastConfig()) -> Points:
+    """Batched FAST over (B, H, W) frames — the serving-throughput path:
+    strengths+NMS run as one Pallas grid over (batch, row-tiles); the
+    postlude is vmapped. Returns Points with leading batch dim."""
+    n = 9 if config.fast_type == FastType.FAST9 else 12
+    from ..kernels.dispatch import pallas_enabled
+    if pallas_enabled():
+        from ..kernels.fast_kernel import fast_strengths_pallas
+        s = fast_strengths_pallas(imgs, config.threshold, n,
+                                  nms=config.nonmax_suppression)
+    else:
+        def one(im):
+            st = fast_strengths(im, config.threshold, n)
+            return fast_nms(st) if config.nonmax_suppression else st
+        s = jax.vmap(one)(imgs)
+    return jax.vmap(lambda m: strengths_to_points(m, config.max_features))(s)
+
+
 @register("corner_detector", "fast")
 def make_fast(config: FastConfig = FastConfig()):
     """Factory (reference COMPV_FAST_ID): returns a jit-able detect fn."""

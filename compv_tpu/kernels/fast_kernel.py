@@ -58,10 +58,11 @@ def _windowed_strength(planes, n):
 
 def _kernel(img_hbm, out_ref, scratch, sem, *, tile, wp, n, threshold,
             h, w, nms):
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     rows = tile + 2 * _HALO_R
     dma = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(i * tile, rows), :], scratch, sem)
+        img_hbm.at[b, pl.ds(i * tile, rows), :], scratch, sem)
     dma.start()
     dma.wait()
     p = scratch[:].astype(jnp.int32)           # (rows, wp + 2*_HALO_C)
@@ -99,33 +100,39 @@ def _kernel(img_hbm, out_ref, scratch, sem, *, tile, wp, n, threshold,
         s = jnp.where((s > 0) & (nmax < s), s, 0)
 
     # f32 -> i32 -> u8 (no direct f32->u8 cast in Mosaic)
-    out_ref[:] = (s[_HALO_R:_HALO_R + tile, _HALO_C:_HALO_C + wp]
+    out_ref[0] = (s[_HALO_R:_HALO_R + tile, _HALO_C:_HALO_C + wp]
                   .astype(jnp.int32).astype(jnp.uint8))
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "n", "nms"))
 def fast_strengths_pallas(img: jax.Array, threshold: int = 20, n: int = 9,
                           nms: bool = True) -> jax.Array:
-    """(H, W) uint8 FAST strengths map (NMS'd), one fused HBM pass."""
-    h, w = img.shape
+    """FAST strengths map (NMS'd), one fused HBM pass. Accepts (H, W) or a
+    batch (B, H, W) — the batch maps onto a second grid dimension (serving
+    throughput; vmap cannot batch manual-DMA Pallas kernels)."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    bsz, h, w = img.shape
     tile = _ROW_TILE
     hp = -(-h // tile) * tile
     wp = -(-w // 128) * 128
-    x = jnp.pad(img, ((_HALO_R, hp - h + _HALO_R),
+    x = jnp.pad(img, ((0, 0), (_HALO_R, hp - h + _HALO_R),
                       (_HALO_C, wp - w + _HALO_C)))
     kern = functools.partial(_kernel, tile=tile, wp=wp, n=n,
                              threshold=threshold, h=h, w=w, nms=nms)
     out = pl.pallas_call(
         kern,
-        grid=(hp // tile,),
+        grid=(bsz, hp // tile),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((tile, wp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, tile, wp), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, wp), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((tile + 2 * _HALO_R, wp + 2 * _HALO_C), img.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret_mode(),
     )(x)
-    return out[:h, :w]
+    out = out[:, :h, :w]
+    return out[0] if squeeze else out

@@ -40,12 +40,7 @@ def _morph(img: jax.Array, strel: np.ndarray, is_erode: bool) -> jax.Array:
         return morph_pallas(img, np.asarray(strel, bool), is_erode)
     h, w = strel.shape
     pad_h, pad_w = h // 2, w // 2
-    if is_erode:
-        init, op = jnp.uint8(255), jax.lax.min
-        pad_val = 255
-    else:
-        init, op = jnp.uint8(0), jax.lax.max
-        pad_val = 0
+    op = jax.lax.min if is_erode else jax.lax.max
     x = jnp.pad(img, ((pad_h, pad_h), (pad_w, pad_w)), mode="edge")
     # Shift-and-reduce over the strel's active taps: for 3x3/5x5 strels this
     # is a handful of fused VPU min/max ops — cheaper than reduce_window with

@@ -126,3 +126,29 @@ class TestFastKernel:
         out = fast_strengths_pallas(tiny, 20, 9)
         assert out.shape == (6, 5)
         assert int(jnp.sum(out)) == 0  # nothing is >= 3px from the border
+
+
+class TestBatchedFast:
+    def test_batch_matches_single(self, rng):
+        from compv_tpu.features.fast import fast_detect_batch
+        from compv_tpu.features import fast
+        from compv_tpu.core.config import FastConfig
+        imgs = jnp.asarray(rng.integers(0, 256, (3, 64, 96), np.uint8))
+        cfg = FastConfig(threshold=20, max_features=64)
+        pb = fast_detect_batch(imgs, cfg)
+        assert pb.xy.shape == (3, 64, 2)
+        for b in range(3):
+            want = fast.fast_detect(imgs[b], cfg)
+            assert int(pb.count[b]) == int(want.count)
+            # same strengths selected (xy order may differ on exact ties)
+            np.testing.assert_allclose(
+                np.sort(np.asarray(pb.strength[b])),
+                np.sort(np.asarray(want.strength)))
+
+    def test_batched_strengths_exact(self, rng):
+        from compv_tpu.kernels.fast_kernel import fast_strengths_pallas
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 48, 70), np.uint8))
+        sb = fast_strengths_pallas(imgs, 20, 9, nms=True)
+        for b in range(2):
+            s1 = fast_strengths_pallas(imgs[b], 20, 9, nms=True)
+            np.testing.assert_array_equal(np.asarray(sb[b]), np.asarray(s1))
