@@ -172,9 +172,9 @@ def fast_detect(img: jax.Array, config: FastConfig = FastConfig()) -> Points:
     n = 9 if config.fast_type == FastType.FAST9 else 12
     from ..kernels.dispatch import pallas_enabled
     if pallas_enabled():
-        from ..kernels.fast_kernel import fast_strengths_pallas
-        s = fast_strengths_pallas(img, config.threshold, n,
-                                  nms=config.nonmax_suppression)
+        from ..kernels.fast_kernel import fast_strengths_vmappable
+        s = fast_strengths_vmappable(config.threshold, n,
+                                     config.nonmax_suppression)(img)
     else:
         s = fast_strengths(img, config.threshold, n)
         if config.nonmax_suppression:

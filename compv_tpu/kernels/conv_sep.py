@@ -41,10 +41,11 @@ _HALO_C = 128  # col halo: one lane tile
 def _kernel_body(in_hbm, *out_refs_and_scratch, taps, tile, w_pad, n_out):
     out_refs = out_refs_and_scratch[:n_out]
     scratch, sem = out_refs_and_scratch[n_out], out_refs_and_scratch[n_out + 1]
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     rows = tile + 2 * _HALO_R
     dma = pltpu.make_async_copy(
-        in_hbm.at[pl.ds(i * tile, rows), :], scratch, sem)
+        in_hbm.at[b, pl.ds(i * tile, rows), :], scratch, sem)
     dma.start()
     dma.wait()
     x = scratch[:]
@@ -69,7 +70,7 @@ def _kernel_body(in_hbm, *out_refs_and_scratch, taps, tile, w_pad, n_out):
                 continue
             term = c * _roll(hz, ry - j, axis=0)
             vt = term if vt is None else vt + term
-        out_refs[o][:] = vt[_HALO_R:_HALO_R + tile, _HALO_C:_HALO_C + w_pad]
+        out_refs[o][0] = vt[_HALO_R:_HALO_R + tile, _HALO_C:_HALO_C + w_pad]
 
 
 @functools.partial(jax.jit, static_argnames=("taps", "pad_mode"))
@@ -78,16 +79,20 @@ def conv_separable_fused(img: jax.Array,
                                            Tuple[float, ...]], ...],
                          pad_mode: str = "constant") -> Tuple[jax.Array, ...]:
     """Run every (kx, ky) separable filter in `taps` over `img` in one fused
-    Pallas pass. Returns one float32 (H, W) array per filter. Border = ZERO
-    (pad_mode='constant') or REPLICATE (pad_mode='edge'), matching the
-    reference border modes (compv_math_convlt.h COMPV_BORDER_TYPE_*)."""
-    h, w = img.shape
+    Pallas pass. Returns one float32 array per filter, input shape (H, W) or
+    batched (B, H, W). Border = ZERO (pad_mode='constant') or REPLICATE
+    (pad_mode='edge'), matching the reference border modes
+    (compv_math_convlt.h COMPV_BORDER_TYPE_*)."""
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    bsz, h, w = img.shape
     radius = max(max(len(kx), len(ky)) // 2 for kx, ky in taps)
     assert radius <= _HALO_R and radius <= _HALO_C
     tile = _ROW_TILE
     hp = -(-h // tile) * tile
     w_pad = -(-w // 128) * 128
-    x = jnp.pad(img, ((_HALO_R, hp - h + _HALO_R),
+    x = jnp.pad(img, ((0, 0), (_HALO_R, hp - h + _HALO_R),
                       (_HALO_C, w_pad - w + _HALO_C)),
                 mode=pad_mode)
 
@@ -96,14 +101,14 @@ def conv_separable_fused(img: jax.Array,
                              w_pad=w_pad, n_out=n_out)
     outs = pl.pallas_call(
         kern,
-        grid=(hp // tile,),
+        grid=(bsz, hp // tile),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=tuple(
-            pl.BlockSpec((tile, w_pad), lambda i: (i, 0),
+            pl.BlockSpec((1, tile, w_pad), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(n_out)),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((hp, w_pad), jnp.float32)
+            jax.ShapeDtypeStruct((bsz, hp, w_pad), jnp.float32)
             for _ in range(n_out)),
         scratch_shapes=[
             pltpu.VMEM((tile + 2 * _HALO_R, w_pad + 2 * _HALO_C), img.dtype),
@@ -113,7 +118,28 @@ def conv_separable_fused(img: jax.Array,
     )(x)
     if not isinstance(outs, (tuple, list)):
         outs = (outs,)
-    return tuple(o[:h, :w] for o in outs)
+    return tuple(o[0, :h, :w] if squeeze else o[:, :h, :w] for o in outs)
+
+
+@functools.lru_cache(maxsize=None)
+def conv_fused_vmappable(taps: tuple, pad_mode: str = "constant"):
+    """Single-image fused-conv fn that jax.vmap routes to the batched grid
+    (manual-DMA pallas_calls have no automatic batching rule)."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def f(img):
+        return conv_separable_fused(img, taps, pad_mode=pad_mode)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, img):
+        lead = img.shape[:-2]
+        flat = img.reshape((-1,) + img.shape[-2:])
+        outs = conv_separable_fused(flat, taps, pad_mode=pad_mode)
+        outs = tuple(o.reshape(lead + o.shape[-2:]) for o in outs)
+        return outs, tuple(True for _ in outs)
+
+    return f
 
 
 def _as_taps(*pairs) -> tuple:
@@ -129,7 +155,7 @@ def gaussian_blur_pallas(img: jax.Array, size: int = 5, sigma: float = 2.0,
     core/features/orb/compv_core_feature_orb_desc.cxx:186-204)."""
     from ..ops.convolve import gaussian_kernel1d
     k = gaussian_kernel1d(size, sigma)
-    (out,) = conv_separable_fused(img, _as_taps((k, k)), pad_mode=pad_mode)
+    (out,) = conv_fused_vmappable(_as_taps((k, k)), pad_mode)(img)
     if out_dtype is not None and jnp.issubdtype(out_dtype, jnp.integer):
         info = jnp.iinfo(out_dtype)
         out = jnp.clip(jnp.round(out), info.min, info.max).astype(out_dtype)
@@ -142,5 +168,5 @@ def gradients_pallas(img: jax.Array, kind: str = "sobel"):
     from ..ops.convolve import SOBEL3, SCHARR3, PREWITT3
     deriv, smooth = {"sobel": SOBEL3, "scharr": SCHARR3,
                      "prewitt": PREWITT3}[kind]
-    return conv_separable_fused(img, _as_taps((deriv, smooth),
-                                              (smooth, deriv)))
+    return conv_fused_vmappable(_as_taps((deriv, smooth),
+                                         (smooth, deriv)))(img)

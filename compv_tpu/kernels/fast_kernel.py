@@ -136,3 +136,23 @@ def fast_strengths_pallas(img: jax.Array, threshold: int = 20, n: int = 9,
     )(x)
     out = out[:, :h, :w]
     return out[0] if squeeze else out
+
+
+@functools.lru_cache(maxsize=None)
+def fast_strengths_vmappable(threshold: int, n: int, nms: bool):
+    """A single-image strengths fn that jax.vmap routes to the BATCHED
+    kernel (manual-DMA pallas_calls have no automatic batching rule)."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def f(img):
+        return fast_strengths_pallas(img, threshold, n, nms=nms)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, img):
+        lead = img.shape[:-2]
+        flat = img.reshape((-1,) + img.shape[-2:])
+        out = fast_strengths_pallas(flat, threshold, n, nms=nms)
+        return out.reshape(lead + out.shape[-2:]), True
+
+    return f
