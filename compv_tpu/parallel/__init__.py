@@ -1,1 +1,1 @@
-from . import mesh, dist_ba, dist_match, dist_image  # noqa: F401
+from . import mesh, dist_ba, dist_match, dist_image, dist_frontend  # noqa: F401

@@ -56,8 +56,13 @@ def match_sharded(query: Descriptors, train: Descriptors, mesh: Mesh,
         qn = cand_d.shape[0]
         cand_d = cand_d.reshape(qn, n_dev * knn)
         cand_i = cand_i.reshape(qn, n_dev * knn)
-        neg2, sel = jax.lax.top_k(-cand_d, knn)
+        # composite (distance, global-index) key: ties resolve to the lowest
+        # global index, bit-identical to the single-device iterated argmin
+        # regardless of mesh size (clamp keeps PAD_DISTANCE from overflowing)
+        key = jnp.minimum(cand_d, 4096) * jnp.int32(t_total) + cand_i
+        _, sel = jax.lax.top_k(-key, knn)
         final_i = jnp.take_along_axis(cand_i, sel, axis=1)
+        neg2 = -jnp.take_along_axis(cand_d, sel, axis=1)
         q_valid = jnp.arange(qn, dtype=jnp.int32) < q_count
         return final_i.astype(jnp.int32), -neg2, q_valid
 

@@ -57,3 +57,27 @@ class TestShardedFast:
         got = dist_image.fast_strengths_sharded(img, mesh8, 20, 9, nms=False)
         want = fast.fast_strengths(img, 20, 9)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestShardedFrontend:
+    def test_fast_frames_matches_batch(self, mesh8, rng):
+        from compv_tpu.parallel import dist_frontend
+        from compv_tpu.features.fast import fast_detect_batch
+        from compv_tpu.core.config import FastConfig
+        imgs = jnp.asarray(rng.integers(0, 256, (8, 48, 64), np.uint8))
+        cfg = FastConfig(threshold=20, max_features=32)
+        got = dist_frontend.fast_detect_frames(imgs, mesh8, cfg)
+        want = fast_detect_batch(imgs, cfg)
+        np.testing.assert_array_equal(np.asarray(got.count),
+                                      np.asarray(want.count))
+        np.testing.assert_allclose(np.asarray(got.strength),
+                                   np.asarray(want.strength))
+
+    def test_orb_frames_shapes(self, mesh8, rng):
+        from compv_tpu.parallel import dist_frontend
+        from compv_tpu.core.config import OrbConfig
+        imgs = jnp.asarray(rng.integers(0, 256, (8, 64, 80), np.uint8))
+        p, d = dist_frontend.orb_frames(imgs, mesh8,
+                                        OrbConfig(levels=2, max_features=32))
+        assert p.xy.shape[0] == 8
+        assert d.bits.shape[0] == 8

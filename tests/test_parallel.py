@@ -71,3 +71,28 @@ class TestShardedBA:
         assert float(s8.final_cost) < 0.5 * float(s8.initial_cost)
         assert abs(float(s8.final_cost) - float(s1.final_cost)) \
             < 0.15 * float(s1.final_cost)
+
+
+class TestMeshSizeInvariance:
+    """SURVEY §4(e): same seeds, mesh sizes 1/2/4/8 -> invariant results."""
+
+    @pytest.mark.parametrize("n_dev", [1, 2, 4])
+    def test_match_invariant_across_mesh_sizes(self, n_dev):
+        import jax
+        from compv_tpu.core.types import Descriptors
+        mesh = mesh_mod.make_mesh((n_dev,), ("data",),
+                                  devices=jax.devices()[:n_dev])
+        rng = np.random.default_rng(11)  # same data for every mesh size
+        bits = rng.integers(0, 2 ** 32, (16, 8), dtype=np.uint64
+                            ).astype(np.uint32)
+        q = Descriptors(bits=jnp.asarray(bits[:8]),
+                        count=jnp.asarray(8, jnp.int32))
+        t = Descriptors(bits=jnp.asarray(bits),
+                        count=jnp.asarray(16, jnp.int32))
+        m = dist_match.match_sharded(q, t, mesh, knn=2)
+        if not hasattr(self, "_ref"):
+            type(self)._ref = (np.asarray(m.train_idx),
+                               np.asarray(m.distance))
+        np.testing.assert_array_equal(np.asarray(m.train_idx),
+                                      self._ref[0])
+        np.testing.assert_array_equal(np.asarray(m.distance), self._ref[1])
