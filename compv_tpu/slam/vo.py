@@ -139,6 +139,10 @@ class VisualOdometry:
         self._last_kf = None
         # observation log (frame_idx, landmark_idx, uv) feeding windowed BA
         self._obs: List[Tuple[int, int, np.ndarray]] = []
+        # sparse keyframe history for loop-closure retrieval:
+        # (frame_idx, desc bits device array)
+        self._kf_history: List[Tuple[int, jax.Array]] = []
+        self.keyframe_every = 5
 
     # ------------------------------------------------------------- helpers
     def _split(self):
@@ -397,6 +401,8 @@ class VisualOdometry:
             self._obs.append((fidx, int(ti[i]), xy[i]))
         # map extension from the precomputed candidates (device-side insert)
         self._last_kf = (pose_d, xy_d, bits_d, fidx)
+        if fidx % self.keyframe_every == 0:
+            self._kf_history.append((fidx, bits_d))
         count = int(self.map.count)
         space = self.config.max_landmarks - count
         new = ok & np.isfinite(tri).all(1) & (depth > 0.05) & (depth < 1e3)
@@ -407,6 +413,66 @@ class VisualOdometry:
             gi = np.flatnonzero(new)[:n_new]
             for lid, g in zip(range(count, count + n_new), gi):
                 self._obs.append((fidx, int(lid), xy[g]))
+        return True
+
+    # ------------------------------------------------- loop closure / graph
+    def detect_loop(self, min_matches: int = 40, exclude_recent: int = 20
+                    ) -> Optional[Tuple[int, int]]:
+        """Descriptor-retrieval loop candidate: match the current keyframe's
+        descriptors against the stored keyframe history (excluding recent
+        frames). Returns (frame_idx, n_matches) of the best candidate, or
+        None. (Beyond-reference: place recognition over hamming matching.)"""
+        if self._last_kf is None:
+            return None
+        _, _, cur_bits, cur_idx = self._last_kf
+        cap = cur_bits.shape[0]
+        q = Descriptors(bits=jnp.asarray(cur_bits),
+                        count=jnp.asarray(cap, jnp.int32))
+        best = None
+        for fidx, bits in self._kf_history:
+            if cur_idx - fidx < exclude_recent:
+                continue
+            tr = Descriptors(bits=bits, count=jnp.asarray(cap, jnp.int32))
+            m = bruteforce.match(q, tr, knn=2)
+            n = int(jnp.sum(bruteforce.lowe_ratio_mask(
+                m, self.config.match_ratio)))
+            if n >= min_matches and (best is None or n > best[1]):
+                best = (fidx, n)
+        return best
+
+    def optimize_posegraph(self, loop_edges=None, iters: int = 30) -> bool:
+        """Global trajectory refinement over sequential odometry edges plus
+        optional loop-closure constraints [(i, j, z_ij (6,), weight)], using
+        slam/posegraph.py. Updates the trajectory in place."""
+        from . import posegraph
+        from .camera import se3_relative
+        F = len(self.trajectory)
+        if F < 3:
+            return False
+        traj = jnp.asarray(np.stack(self.trajectory))
+        ei = list(range(F - 1))
+        ej = list(range(1, F))
+        ez = [np.asarray(se3_relative(traj[i], traj[i + 1]))
+              for i in range(F - 1)]
+        ew = [1.0] * (F - 1)
+        for (i, j, z, w) in (loop_edges or []):
+            ei.append(i)
+            ej.append(j)
+            ez.append(np.asarray(z, np.float32))
+            ew.append(float(w))
+        g = posegraph.PoseGraph(
+            poses=traj,
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            edge_z=jnp.asarray(np.stack(ez), jnp.float32),
+            edge_w=jnp.asarray(ew, jnp.float32),
+            edge_valid=jnp.ones((len(ei),), bool),
+            fixed=jnp.asarray([True] + [False] * (F - 1)))
+        poses, cost = posegraph.optimize(g, iters=iters)
+        poses = np.asarray(poses, np.float32)
+        if not np.isfinite(poses).all():
+            return False
+        self.trajectory = [poses[i] for i in range(F)]
         return True
 
     # ------------------------------------------------------------ metrics

@@ -96,3 +96,36 @@ class TestVO:
         err_b = vo.ate_rmse(est_before, gt_pos)
         err_a = vo.ate_rmse(est_after, gt_pos)
         assert err_a <= err_b * 1.5, (err_b, err_a)  # no catastrophic change
+
+    def test_posegraph_corrects_loop(self, scene):
+        """A loop-closure edge pulls accumulated drift back: perturb the
+        trajectory tail, add a loop edge equal to the TRUE relative pose,
+        optimize, drift shrinks."""
+        intr, frames, gt = scene
+        odo = vo.VisualOdometry(intr, vo.VOConfig())
+        gt_poses = [np.asarray(w, np.float32) for w in gt]
+        odo.trajectory = [p.copy() for p in gt_poses]
+        odo.trajectory[-1][3:] += np.asarray([0.15, -0.1, 0.08])  # drift
+        from compv_tpu.slam.camera import se3_relative
+        z = np.asarray(se3_relative(jnp.asarray(gt_poses[0]),
+                                    jnp.asarray(gt_poses[-1])))
+        drift_before = np.linalg.norm(odo.trajectory[-1] - gt_poses[-1])
+        assert odo.optimize_posegraph(
+            loop_edges=[(0, len(gt_poses) - 1, z, 10.0)])
+        drift_after = np.linalg.norm(odo.trajectory[-1] - gt_poses[-1])
+        assert drift_after < drift_before * 0.5, (drift_before, drift_after)
+
+    def test_detect_loop_finds_revisit(self):
+        rng = np.random.default_rng(5)
+        intr = camera.Intrinsics.make(100.0, 100.0, 64.0, 48.0)
+        odo = vo.VisualOdometry(intr, vo.VOConfig())
+        bits_a = jnp.asarray(rng.integers(0, 2 ** 32, (512, 8),
+                                          dtype=np.uint64).astype(np.uint32))
+        bits_b = jnp.asarray(rng.integers(0, 2 ** 32, (512, 8),
+                                          dtype=np.uint64).astype(np.uint32))
+        odo._kf_history = [(0, bits_a), (5, bits_b)]
+        # current keyframe re-observes frame 0's descriptors
+        odo._last_kf = (np.zeros(6, np.float32), np.zeros((512, 2)),
+                        bits_a, 30)
+        hit = odo.detect_loop(min_matches=100, exclude_recent=10)
+        assert hit is not None and hit[0] == 0
