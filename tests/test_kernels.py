@@ -152,3 +152,45 @@ class TestBatchedFast:
         for b in range(2):
             s1 = fast_strengths_pallas(imgs[b], 20, 9, nms=True)
             np.testing.assert_array_equal(np.asarray(sb[b]), np.asarray(s1))
+
+
+class TestMorphKernel:
+    def test_erode_dilate_exact(self, rng):
+        from compv_tpu.kernels.morph import morph_pallas
+        from compv_tpu.ops import morphology
+        img = jnp.asarray(rng.integers(0, 2, (60, 90), np.uint8) * 255)
+        for kind in ("rect", "cross", "ellipse"):
+            strel = morphology.structuring_element(kind, 3, 3)
+            for is_erode in (True, False):
+                got = morph_pallas(img, strel, is_erode)
+                old = os.environ.pop("COMPV_TPU_PALLAS")
+                try:
+                    want = (morphology.erode if is_erode
+                            else morphology.dilate)(img, strel)
+                finally:
+                    os.environ["COMPV_TPU_PALLAS"] = old
+                np.testing.assert_array_equal(np.asarray(got),
+                                              np.asarray(want))
+
+
+class TestBatchedConv:
+    def test_batched_matches_per_image(self, rng):
+        imgs = jnp.asarray(rng.integers(0, 256, (3, 40, 70), np.uint8))
+        gx_b, gy_b = gradients_pallas(imgs, "sobel")
+        for b in range(3):
+            gx1, gy1 = gradients_pallas(imgs[b], "sobel")
+            np.testing.assert_allclose(np.asarray(gx_b[b]),
+                                       np.asarray(gx1), atol=1e-4)
+            np.testing.assert_allclose(np.asarray(gy_b[b]),
+                                       np.asarray(gy1), atol=1e-4)
+
+    def test_vmap_routes_to_batched_grid(self, rng):
+        import jax
+        from compv_tpu.kernels.conv_sep import conv_fused_vmappable, _as_taps
+        from compv_tpu.ops.convolve import SOBEL3
+        imgs = jnp.asarray(rng.integers(0, 256, (2, 32, 48), np.uint8))
+        f = conv_fused_vmappable(_as_taps((SOBEL3[0], SOBEL3[1])))
+        (out_v,) = jax.vmap(lambda im: f(im))(imgs)
+        (out_b,) = f(imgs[0])
+        np.testing.assert_allclose(np.asarray(out_v[0]),
+                                   np.asarray(out_b), atol=1e-4)
