@@ -69,6 +69,17 @@ class Image:
     def plane(self, i: int = 0) -> jax.Array:
         return self.planes[i]
 
+    def crop(self, x: int, y: int, w: int, h: int) -> "Image":
+        """Zero-copy view crop (reference CompVMat::bind(roi) / crop,
+        compv_mat.h — XLA slices are views until materialized). Subsampled
+        chroma planes crop at their own resolution."""
+        out = []
+        for p in self.planes:
+            sy = self.planes[0].shape[0] // p.shape[0]
+            sx = self.planes[0].shape[1] // p.shape[1]
+            out.append(p[y // sy:(y + h) // sy, x // sx:(x + w) // sx])
+        return Image(planes=tuple(out), fmt=self.fmt)
+
 
 def _field(**kw):
     return dataclasses.field(**kw)

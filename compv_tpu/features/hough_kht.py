@@ -219,6 +219,15 @@ def hough_lines_kht(edges: jax.Array, config: HoughConfig = HoughConfig(),
     return lines, gs
 
 
+def filter_lines_by_gs(lines: HoughLines, gs, frac: float = 0.1
+                       ) -> jax.Array:
+    """(M,) bool mask of lines with strength >= frac * GS — the adaptive
+    threshold the reference calibrator applies to KHT output via the caps
+    system (calib_camera.cxx:170-188, COMPV_HOUGHKHT_SET_FLT32_GS)."""
+    return (lines.strength.astype(jnp.float32) >= frac * gs) \
+        & (jnp.arange(lines.rho.shape[0]) < lines.count)
+
+
 @register("hough", "kht")
 def make_hough_kht(config: HoughConfig = HoughConfig()):
     """Factory (reference COMPV_HOUGHKHT_ID)."""

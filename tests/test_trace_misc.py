@@ -66,3 +66,35 @@ class TestFlann:
         d = Descriptors(bits=b, count=jnp.asarray(8, jnp.int32))
         m = flann.match(d, d, knn=2)
         assert (np.asarray(m.distance)[:, 0] == 0).all()
+
+
+class TestImageCrop:
+    def test_crop_packed(self, rng):
+        from compv_tpu.core.types import Image, PixelFormat
+        arr = jnp.asarray(rng.integers(0, 256, (40, 60), np.uint8))
+        img = Image.from_array(arr, PixelFormat.GRAY8)
+        c = img.crop(10, 5, 20, 16)
+        assert c.plane().shape == (16, 20)
+        np.testing.assert_array_equal(np.asarray(c.plane()),
+                                      np.asarray(arr)[5:21, 10:30])
+
+    def test_crop_subsampled(self, rng):
+        from compv_tpu.core.types import Image, PixelFormat
+        y = jnp.asarray(rng.integers(0, 256, (48, 64), np.uint8))
+        u = jnp.asarray(rng.integers(0, 256, (24, 32), np.uint8))
+        v = jnp.asarray(rng.integers(0, 256, (24, 32), np.uint8))
+        img = Image(planes=(y, u, v), fmt=PixelFormat.YUV420P)
+        c = img.crop(16, 8, 32, 24)
+        assert c.plane(0).shape == (24, 32)
+        assert c.plane(1).shape == (12, 16)
+
+
+class TestKhtGsFilter:
+    def test_mask(self):
+        from compv_tpu.features.hough_kht import filter_lines_by_gs
+        from compv_tpu.features.hough_sht import HoughLines
+        lines = HoughLines(rho=jnp.zeros(4), theta=jnp.zeros(4),
+                           strength=jnp.asarray([100, 5, 60, 0]),
+                           count=jnp.asarray(3))
+        mask = np.asarray(filter_lines_by_gs(lines, gs=100.0, frac=0.5))
+        assert list(mask) == [True, False, True, False]
