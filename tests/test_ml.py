@@ -46,14 +46,16 @@ def _two_blobs(rng, n=120, sep=3.0):
 
 
 class TestSVM:
-    def test_linearly_separable(self, rng):
-        x, y = _two_blobs(rng, sep=6.0)
+    def test_linearly_separable(self):
+        x, y = _two_blobs(np.random.default_rng(1), sep=6.0)
         m = svm.train(jnp.asarray(x), y, c=1.0, kernel="rbf")
         pred = np.asarray(svm.predict(m, jnp.asarray(x)))
         assert (pred == y).mean() > 0.97
 
-    def test_nonlinear_xor(self, rng):
-        # RBF must solve XOR (linear cannot)
+    def test_nonlinear_xor(self):
+        # RBF must solve XOR (linear cannot); local rng: data must not
+        # depend on which tests consumed the session generator earlier
+        rng = np.random.default_rng(42)
         n = 200
         x = rng.uniform(-1, 1, size=(n, 2)).astype(np.float32)
         y = ((x[:, 0] * x[:, 1]) > 0).astype(np.int32)
@@ -79,8 +81,8 @@ class TestSVM:
             np.asarray(svm.decision(m, jnp.asarray(x[:10]))),
             np.asarray(svm.decision(m2, jnp.asarray(x[:10]))), atol=1e-5)
 
-    def test_cross_validation(self, rng):
-        x, y = _two_blobs(rng, sep=6.0)
+    def test_cross_validation(self):
+        x, y = _two_blobs(np.random.default_rng(2), sep=6.0)
         acc = svm.cross_validate(x, y, folds=3, c=1.0)
         assert acc > 0.9
 
