@@ -13,7 +13,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..core.config import BorderMode
 from ..core.registry import register
 from ..ops.convolve import gradients
 from ..ops.mathutils import scale_and_clip_pixel8

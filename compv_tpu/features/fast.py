@@ -24,7 +24,6 @@ after XLA fusion; no data-dependent control flow.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

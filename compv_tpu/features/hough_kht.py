@@ -22,7 +22,7 @@ thresholds (calib_camera.cxx:170-174).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,7 @@ from ..core.registry import register
 from ..core.types import Descriptors, Points, concat_points
 from ..ops.convolve import gaussian_blur
 from ..ops.mathutils import orientations
-from ..ops.resize import build_pyramid, pyramid_sizes, scale_factors_sum
+from ..ops.resize import build_pyramid, scale_factors_sum
 from . import brief
 from .fast import fast_nms, fast_strengths, strengths_to_points
 

@@ -13,13 +13,13 @@ autodiff-LM machinery — no vendored lmfit.
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..slam.camera import Intrinsics, project_batch, so3_exp, so3_log
+from ..slam.camera import Intrinsics, project_batch, so3_log
 from . import linalg
 from .homography import compute_h
 from .lm import levenberg_marquardt

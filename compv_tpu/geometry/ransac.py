@@ -15,7 +15,6 @@ CompVMathStatsRansacControl build_model_params/build_residuals:
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Tuple
 
 import jax

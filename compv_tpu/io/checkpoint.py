@@ -8,10 +8,9 @@ resumes after preemption — the TPU-fleet requirement the reference never had.
 """
 from __future__ import annotations
 
-import json
 import os
 import tempfile
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import numpy as np

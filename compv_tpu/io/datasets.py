@@ -8,7 +8,7 @@ directory; nothing is downloaded.
 from __future__ import annotations
 
 import os
-from typing import Iterator, List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

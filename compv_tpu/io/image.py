@@ -9,7 +9,7 @@ decode on host, compute on device).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -13,8 +13,6 @@ the input (the reference's COMPV_BORDER_TYPE_IGNORE copies input borders).
 """
 from __future__ import annotations
 
-import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ Border mode matches the reference default REPLICATE (clamp).
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

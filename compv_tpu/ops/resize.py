@@ -13,7 +13,6 @@ bit-identical to CompV's scalar kernel.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ bit-equality with the single-chip program, seams included.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax

@@ -25,7 +25,7 @@ replicated. This file is mesh-agnostic; `reduce_fn` abstracts the psum.
 from __future__ import annotations
 
 import functools
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

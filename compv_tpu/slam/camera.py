@@ -9,7 +9,6 @@ calibrates k1, k2 radial terms, calib_camera.cxx:657+).
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

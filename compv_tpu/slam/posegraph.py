@@ -14,7 +14,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from .camera import se3_compose, se3_inverse, se3_relative, so3_exp, so3_log
+from .camera import se3_compose, se3_inverse, se3_relative
 
 
 class PoseGraph(NamedTuple):

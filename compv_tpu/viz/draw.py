@@ -7,7 +7,7 @@ base/include/compv/base/drawing/compv_canvas.h) rendered on host into
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import numpy as np
 
