@@ -97,6 +97,67 @@ def _insert_landmarks(m: "VOMap", new_pts, new_desc, new_mask):
     return VOMap(points=points, desc=desc, valid=valid, count=m.count + n)
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def track_window(frames: jax.Array, vomap: "VOMap", kf_pose, kf_uv, kf_desc,
+                 key, intr, config: "VOConfig"):
+    """Track a WHOLE window of frames as one compiled program: lax.scan over
+    frames carrying the device-resident map + keyframe state. Zero host
+    round trips inside the window — the serving-throughput mode (the
+    host-driven `VisualOdometry.track` pays one tunnel round trip per frame;
+    this pays one per window).
+
+    Tracking failure on a frame holds the previous pose (flagged False in
+    `ok`); the map extends only on success. Returns
+    (poses (F, 6), ok (F,), inliers (F,), final map, final kf state).
+    """
+    min_inl = config.min_track_inliers
+
+    def step(carry, img):
+        m, kf_p, kf_u, kf_d, k, last_pose = carry
+        k, sub = jax.random.split(k)
+        p, d = orb_detect_describe(img, config.orb)
+        tr = Descriptors(bits=m.desc, count=m.count)
+        mm = bruteforce.match(d, tr, knn=2)
+        good = bruteforce.lowe_ratio_mask(mm, config.match_ratio)
+        ti = mm.train_idx[:, 0]
+        res = pnp.solve_pnp(sub, m.points[ti], p.xy, intr,
+                            valid_mask=good, config=config.ransac)
+        ok = ((jnp.sum(good) >= min_inl)
+              & (res.num_inliers >= min_inl))
+        pose = jnp.where(ok, res.pose, last_pose)
+        # extension: match vs keyframe, triangulate, insert (only when ok)
+        cap = kf_d.shape[0]
+        mk = bruteforce.match(d, Descriptors(
+            bits=kf_d, count=jnp.asarray(cap, jnp.int32)), knn=2)
+        cand = bruteforce.lowe_ratio_mask(mk, config.match_ratio) & ~good
+        tri = triangulate_batch(kf_p, pose, intr, kf_u[mk.train_idx[:, 0]],
+                                p.xy)
+        depth = jax.vmap(lambda pt: point_depth(pose, pt))(tri)
+        new = (cand & jnp.all(jnp.isfinite(tri), axis=1)
+               & (depth > 0.05) & (depth < 1e3) & ok)
+        m = _insert_landmarks(m, tri, d.bits, new)
+
+        # keyframe promotes on success; ORB's capacity (strength-sorted)
+        # is trimmed/padded to the keyframe buffer's capacity
+        def fit(arr):
+            n = arr.shape[0]
+            if n >= cap:
+                return arr[:cap]
+            return jnp.pad(arr, ((0, cap - n),) + ((0, 0),) * (arr.ndim - 1))
+
+        kf_p = jnp.where(ok, pose, kf_p)
+        kf_u = jnp.where(ok, fit(p.xy), kf_u)
+        kf_d = jnp.where(ok, fit(d.bits), kf_d)
+        return (m, kf_p, kf_u, kf_d, k, pose), (pose, ok, res.num_inliers)
+
+    init = (vomap, jnp.asarray(kf_pose, jnp.float32),
+            jnp.asarray(kf_uv, jnp.float32), jnp.asarray(kf_desc),
+            key, jnp.asarray(kf_pose, jnp.float32))
+    carry, (poses, oks, ninl) = jax.lax.scan(step, init, frames)
+    m, kf_p, kf_u, kf_d, _, _ = carry
+    return poses, oks, ninl, m, (kf_p, kf_u, kf_d)
+
+
 @functools.partial(jax.jit, static_argnames=("ratio",))
 def _extend_compute(desc_p, kf_desc, kf_pose, pose, kf_uv, uv_p, intr,
                     ratio: float):
@@ -414,6 +475,25 @@ class VisualOdometry:
             for lid, g in zip(range(count, count + n_new), gi):
                 self._obs.append((fidx, int(lid), xy[g]))
         return True
+
+    def track_batch(self, frames) -> np.ndarray:
+        """Track a window of frames with ONE device program + ONE transfer
+        (track_window). Appends successfully-tracked poses to the
+        trajectory, updates the device-resident map/keyframe. Returns the
+        (F,) success flags. Odometry mode: per-frame observations are not
+        logged, so `refine()` windows exclude these frames."""
+        assert self._initialized
+        kf_pose, kf_uv, kf_desc, _ = self._last_kf
+        poses, oks, _, m, (kfp, kfu, kfd) = track_window(
+            jnp.asarray(frames), self.map, kf_pose, kf_uv, kf_desc,
+            self._split(), self.intr, self.config)
+        poses_h, oks_h = jax.device_get((poses, oks))
+        for f in range(len(oks_h)):
+            if oks_h[f]:
+                self.trajectory.append(np.asarray(poses_h[f], np.float32))
+        self.map = m
+        self._last_kf = (kfp, kfu, kfd, len(self.trajectory) - 1)
+        return oks_h
 
     # ------------------------------------------------- loop closure / graph
     def detect_loop(self, min_matches: int = 40, exclude_recent: int = 20

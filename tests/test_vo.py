@@ -129,3 +129,29 @@ class TestVO:
                         bits_a, 30)
         hit = odo.detect_loop(min_matches=100, exclude_recent=10)
         assert hit is not None and hit[0] == 0
+
+
+class TestTrackWindow:
+    def test_window_tracks_like_sequential(self):
+        """lax.scan windowed tracker: same scene tracks successfully with
+        comparable ATE to the per-frame host loop."""
+        from compv_tpu.io import datasets
+        from compv_tpu.core.config import RansacConfig, OrbConfig, BAConfig
+        frames, gt, (fx, fy, cx, cy) = datasets.synthetic_sequence(
+            n_frames=7, h=160, w=200, n_landmarks=250, fx=170.0)
+        intr = camera.Intrinsics.make(fx, fy, cx, cy)
+        cfg = vo.VOConfig(
+            max_landmarks=1024, max_obs_per_frame=256,
+            min_track_inliers=10,
+            ransac=RansacConfig(max_iters=256, batch=64, threshold=9.0),
+            essential=RansacConfig(max_iters=512, batch=128, threshold=2e-5),
+            ba=BAConfig(max_iters=4),
+            orb=OrbConfig(levels=2, max_features=256))
+        odo = vo.VisualOdometry(intr, cfg)
+        assert odo.initialize(frames[0], frames[1])
+        oks = odo.track_batch(np.stack(frames[2:]))
+        assert oks.sum() >= 4, oks
+        est = odo.positions()
+        n = len(est)
+        err = vo.ate_rmse(est, gt[:n])
+        assert np.isfinite(err) and err < 0.25, err
