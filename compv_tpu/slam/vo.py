@@ -111,9 +111,11 @@ def track_window(frames: jax.Array, vomap: "VOMap", kf_pose, kf_uv, kf_desc,
     (poses (F, 6), ok (F,), inliers (F,), final map, final kf state).
     """
     min_inl = config.min_track_inliers
+    n_frames = frames.shape[0]
 
-    def step(carry, img):
-        m, kf_p, kf_u, kf_d, k, last_pose = carry
+    def step(carry, inp):
+        m, kf_p, kf_u, kf_d, k, last_pose, obs, cursor = carry
+        fidx, img = inp
         k, sub = jax.random.split(k)
         p, d = orb_detect_describe(img, config.orb)
         tr = Descriptors(bits=m.desc, count=m.count)
@@ -133,9 +135,29 @@ def track_window(frames: jax.Array, vomap: "VOMap", kf_pose, kf_uv, kf_desc,
         tri = triangulate_batch(kf_p, pose, intr, kf_u[mk.train_idx[:, 0]],
                                 p.xy)
         depth = jax.vmap(lambda pt: point_depth(pose, pt))(tri)
+        old_count = m.count
+        space_left = m.points.shape[0] - old_count
         new = (cand & jnp.all(jnp.isfinite(tri), axis=1)
                & (depth > 0.05) & (depth < 1e3) & ok)
         m = _insert_landmarks(m, tri, d.bits, new)
+
+        # device-side observation log (feeds windowed BA): record inlier
+        # map matches AND the new landmarks' first observations
+        rec = (res.inlier_mask & good & ok) | new
+        new_rank = jnp.cumsum(new.astype(jnp.int32)) - 1
+        new_ok = new & (new_rank < space_left)
+        lm_id = jnp.where(new, old_count + new_rank, ti)
+        rec = rec & (new_ok | ~new)
+        ranks = jnp.cumsum(rec.astype(jnp.int32)) - 1
+        ocap = obs["uv"].shape[0]
+        pos = jnp.where(rec & (cursor + ranks < ocap), cursor + ranks, ocap)
+        obs = dict(
+            pose=obs["pose"].at[pos].set(fidx, mode="drop"),
+            point=obs["point"].at[pos].set(lm_id, mode="drop"),
+            uv=obs["uv"].at[pos].set(p.xy, mode="drop"),
+            valid=obs["valid"].at[pos].set(True, mode="drop"),
+        )
+        cursor = jnp.minimum(cursor + jnp.sum(rec), ocap)
 
         # keyframe promotes on success; ORB's capacity (strength-sorted)
         # is trimmed/padded to the keyframe buffer's capacity
@@ -148,14 +170,22 @@ def track_window(frames: jax.Array, vomap: "VOMap", kf_pose, kf_uv, kf_desc,
         kf_p = jnp.where(ok, pose, kf_p)
         kf_u = jnp.where(ok, fit(p.xy), kf_u)
         kf_d = jnp.where(ok, fit(d.bits), kf_d)
-        return (m, kf_p, kf_u, kf_d, k, pose), (pose, ok, res.num_inliers)
+        return ((m, kf_p, kf_u, kf_d, k, pose, obs, cursor),
+                (pose, ok, res.num_inliers))
 
+    ocap = n_frames * config.max_obs_per_frame
+    obs0 = dict(pose=jnp.zeros(ocap, jnp.int32),
+                point=jnp.zeros(ocap, jnp.int32),
+                uv=jnp.zeros((ocap, 2), jnp.float32),
+                valid=jnp.zeros(ocap, bool))
     init = (vomap, jnp.asarray(kf_pose, jnp.float32),
             jnp.asarray(kf_uv, jnp.float32), jnp.asarray(kf_desc),
-            key, jnp.asarray(kf_pose, jnp.float32))
-    carry, (poses, oks, ninl) = jax.lax.scan(step, init, frames)
-    m, kf_p, kf_u, kf_d, _, _ = carry
-    return poses, oks, ninl, m, (kf_p, kf_u, kf_d)
+            key, jnp.asarray(kf_pose, jnp.float32), obs0,
+            jnp.zeros((), jnp.int32))
+    fids = jnp.arange(n_frames, dtype=jnp.int32)
+    carry, (poses, oks, ninl) = jax.lax.scan(step, init, (fids, frames))
+    m, kf_p, kf_u, kf_d, _, _, obs, _ = carry
+    return poses, oks, ninl, m, (kf_p, kf_u, kf_d), obs
 
 
 @functools.partial(jax.jit, static_argnames=("ratio",))
@@ -476,17 +506,30 @@ class VisualOdometry:
                 self._obs.append((fidx, int(lid), xy[g]))
         return True
 
-    def track_batch(self, frames) -> np.ndarray:
+    def track_batch(self, frames, refine: bool = False) -> np.ndarray:
         """Track a window of frames with ONE device program + ONE transfer
         (track_window). Appends successfully-tracked poses to the
-        trajectory, updates the device-resident map/keyframe. Returns the
-        (F,) success flags. Odometry mode: per-frame observations are not
-        logged, so `refine()` windows exclude these frames."""
+        trajectory, updates the device-resident map/keyframe. With
+        ``refine=True`` a windowed Schur-BA over the window's device-logged
+        observations runs before results come back — still zero extra
+        round trips. Returns the (F,) success flags."""
         assert self._initialized
         kf_pose, kf_uv, kf_desc, _ = self._last_kf
-        poses, oks, _, m, (kfp, kfu, kfd) = track_window(
+        poses, oks, _, m, (kfp, kfu, kfd), obs = track_window(
             jnp.asarray(frames), self.map, kf_pose, kf_uv, kf_desc,
             self._split(), self.intr, self.config)
+        if refine:
+            prob = ba.BAProblem(
+                poses=poses, points=m.points,
+                obs_pose=obs["pose"], obs_point=obs["point"],
+                obs_uv=obs["uv"], obs_valid=obs["valid"],
+                fixed_poses=jnp.zeros(poses.shape[0], bool).at[0].set(True))
+            new_poses, new_points, stats = ba.bundle_adjust(
+                prob, self.intr, self.config.ba)
+            improved = (jnp.isfinite(new_poses).all()
+                        & (stats.final_cost <= stats.initial_cost))
+            poses = jnp.where(improved, new_poses, poses)
+            m = m._replace(points=jnp.where(improved, new_points, m.points))
         poses_h, oks_h = jax.device_get((poses, oks))
         for f in range(len(oks_h)):
             if oks_h[f]:

@@ -155,3 +155,26 @@ class TestTrackWindow:
         n = len(est)
         err = vo.ate_rmse(est, gt[:n])
         assert np.isfinite(err) and err < 0.25, err
+
+    def test_window_refine_improves_or_holds(self):
+        """Windowed BA over the scan-logged observations must not blow up
+        the trajectory and should keep/improve ATE."""
+        from compv_tpu.io import datasets
+        from compv_tpu.core.config import RansacConfig, OrbConfig, BAConfig
+        frames, gt, (fx, fy, cx, cy) = datasets.synthetic_sequence(
+            n_frames=7, h=160, w=200, n_landmarks=250, fx=170.0)
+        intr = camera.Intrinsics.make(fx, fy, cx, cy)
+        cfg = vo.VOConfig(
+            max_landmarks=1024, max_obs_per_frame=256,
+            min_track_inliers=10,
+            ransac=RansacConfig(max_iters=256, batch=64, threshold=9.0),
+            essential=RansacConfig(max_iters=512, batch=128, threshold=2e-5),
+            ba=BAConfig(max_iters=4),
+            orb=OrbConfig(levels=2, max_features=256))
+        odo = vo.VisualOdometry(intr, cfg)
+        assert odo.initialize(frames[0], frames[1])
+        oks = odo.track_batch(np.stack(frames[2:]), refine=True)
+        assert oks.sum() >= 4
+        est = odo.positions()
+        err = vo.ate_rmse(est, gt[:len(est)])
+        assert np.isfinite(err) and err < 0.25, err
