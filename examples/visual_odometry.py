@@ -21,7 +21,7 @@ from compv_tpu.slam import camera, vo
 from compv_tpu import viz
 
 
-def run_synthetic(n_frames=10):
+def run_synthetic(n_frames=10, windowed=True):
     frames, gt, (fx, fy, cx, cy) = datasets.synthetic_sequence(
         n_frames=n_frames, n_landmarks=500)
     intr = camera.Intrinsics.make(fx, fy, cx, cy)
@@ -29,10 +29,15 @@ def run_synthetic(n_frames=10):
         orb=vo.VOConfig().orb, min_track_inliers=10))
     ok = odo.initialize(frames[0], frames[1])
     print("init:", ok)
-    for f in range(2, len(frames)):
-        tracked = odo.track(frames[f])
-        refined = tracked and f % 3 == 0 and odo.refine()
-        print(f"frame {f}: tracked={tracked} refined={bool(refined)}")
+    if windowed:
+        # whole window tracked + BA-refined in ONE device program
+        oks = odo.track_batch(np.stack(frames[2:]), refine=True)
+        print(f"windowed track+BA: {oks.sum()}/{len(oks)} frames tracked")
+    else:
+        for f in range(2, len(frames)):
+            tracked = odo.track(frames[f])
+            refined = tracked and f % 3 == 0 and odo.refine()
+            print(f"frame {f}: tracked={tracked} refined={bool(refined)}")
     est = odo.positions()
     n = min(len(est), len(gt))
     err = vo.ate_rmse(est[:n], gt[:n])
