@@ -98,3 +98,12 @@ class TestKhtGsFilter:
                            count=jnp.asarray(3))
         mask = np.asarray(filter_lines_by_gs(lines, gs=100.0, frac=0.5))
         assert list(mask) == [True, False, True, False]
+
+
+class TestDeviceInfo:
+    def test_capability_report(self):
+        from compv_tpu.core.device import capability_report, device_info
+        rep = capability_report()
+        assert "backend:" in rep and "devices:" in rep
+        infos = device_info()
+        assert len(infos) >= 1 and "platform" in infos[0]
