@@ -81,11 +81,17 @@ def solve_pnp(key: jax.Array, pts3d: jax.Array, uv: jax.Array,
 
     polished = levenberg_marquardt(lm_residual, res.model,
                                    max_iters=polish_iters)
-    ok = (res.num_inliers >= 6) & jnp.all(jnp.isfinite(polished.params))
-    pose = jnp.where(ok, polished.params, res.model)
-    # recount inliers under the polished pose (the 6-point DLT model on
-    # noisy samples undercounts)
+    # accept the polish ONLY if it keeps at least the RANSAC inlier count —
+    # a diverged-but-finite LM fit must not replace a good RANSAC pose
     vm = valid_mask if valid_mask is not None else jnp.ones(pts3d.shape[0], bool)
-    mask = (residuals(pose, data) <= config.threshold) & vm
+    mask_pol = (residuals(polished.params, data) <= config.threshold) & vm
+    mask_ran = (residuals(res.model, data) <= config.threshold) & vm
+    n_pol = jnp.sum(mask_pol)
+    n_ran = jnp.sum(mask_ran)
+    use_pol = (jnp.all(jnp.isfinite(polished.params)) & (n_pol >= n_ran)
+               & (res.num_inliers >= 6))
+    pose = jnp.where(use_pol, polished.params, res.model)
+    mask = jnp.where(use_pol, mask_pol, mask_ran)
     return PnPResult(pose=pose, inlier_mask=mask,
-                     num_inliers=jnp.sum(mask).astype(jnp.int32))
+                     num_inliers=jnp.where(use_pol, n_pol,
+                                           n_ran).astype(jnp.int32))

@@ -47,6 +47,20 @@ class VOConfig:
     orb: OrbConfig = OrbConfig(levels=4, max_features=512)
 
 
+def _dedup_matches(good, ti, dist, n_landmarks: int):
+    """Keep only the best-distance query per landmark: multiple queries
+    matching one landmark are wrong by construction (a landmark appears
+    once per frame) and poison RANSAC's inlier ratio."""
+    big = jnp.int32(1 << 20)
+    d = jnp.where(good, dist, big)
+    best = jax.ops.segment_min(d, ti, num_segments=n_landmarks)
+    # tie-break by query index: first query with the best distance wins
+    q = jnp.arange(ti.shape[0], dtype=jnp.int32)
+    qkey = jnp.where(d == best[ti], q, big)
+    first = jax.ops.segment_min(qkey, ti, num_segments=n_landmarks)
+    return good & (q == first[ti])
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def _track_step(img, map_points, map_desc, map_count,
                 kf_pose, kf_uv, kf_desc, key, intr,
@@ -62,6 +76,7 @@ def _track_step(img, map_points, map_desc, map_count,
     m = bruteforce.match(d, tr, knn=2)
     good = bruteforce.lowe_ratio_mask(m, config.match_ratio)
     ti = m.train_idx[:, 0]
+    good = _dedup_matches(good, ti, m.distance[:, 0], map_points.shape[0])
     res = pnp.solve_pnp(key, map_points[ti], p.xy, intr,
                         valid_mask=good, config=config.ransac)
     # extension candidates: match vs the last keyframe, triangulate
@@ -122,6 +137,8 @@ def track_window(frames: jax.Array, vomap: "VOMap", kf_pose, kf_uv, kf_desc,
         mm = bruteforce.match(d, tr, knn=2)
         good = bruteforce.lowe_ratio_mask(mm, config.match_ratio)
         ti = mm.train_idx[:, 0]
+        good = _dedup_matches(good, ti, mm.distance[:, 0],
+                              m.points.shape[0])
         res = pnp.solve_pnp(sub, m.points[ti], p.xy, intr,
                             valid_mask=good, config=config.ransac)
         ok = ((jnp.sum(good) >= min_inl)
