@@ -90,7 +90,11 @@ def _tiled_labels(binary: jax.Array, tile: int) -> jax.Array:
     tiles = binary[: ty * tile, : tx * tile] \
         .reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3) \
         .reshape(ty * tx, tile, tile)
-    local = _batched_label(tiles, max_iters=4 * tile)
+    # worst-case internal path of a winding string inside one tile is
+    # ~tile*tile/2 steps with one-step propagation; the while_loop exits
+    # early on convergence so the cap is only a safety bound (a too-small
+    # cap would split one string into several, duplicating KHT votes)
+    local = _batched_label(tiles, max_iters=(tile * tile) // 2)
     # globalize: local labels < tile*tile; background tile*tile
     tile_ids = jnp.arange(ty * tx, dtype=jnp.int32)[:, None, None]
     glob = jnp.where(local < tile * tile,

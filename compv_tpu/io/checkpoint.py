@@ -44,8 +44,10 @@ def load_pytree(path: str, like: Any) -> Any:
 
 
 def save_vo(path: str, odo) -> None:
-    """Snapshot a slam.vo.VisualOdometry (trajectory + landmark map +
-    PRNG key) so tracking can resume."""
+    """Snapshot a slam.vo.VisualOdometry (trajectory + landmark map + PRNG
+    key + keyframe state + observation log + loop-closure history) so
+    tracking can resume — track()/track_batch() unpack _last_kf on the very
+    first resumed frame, so the keyframe MUST be part of the snapshot."""
     state: Dict[str, np.ndarray] = {
         "trajectory": np.stack(odo.trajectory) if odo.trajectory
         else np.zeros((0, 6), np.float32),
@@ -57,6 +59,22 @@ def save_vo(path: str, odo) -> None:
                      desc=np.asarray(odo.map.desc),
                      valid=np.asarray(odo.map.valid),
                      count=np.asarray(odo.map.count))
+    if odo._last_kf is not None:
+        kf_pose, kf_uv, kf_desc, kf_n, kf_idx = odo._last_kf
+        state.update(kf_pose=np.asarray(kf_pose, np.float32),
+                     kf_uv=np.asarray(kf_uv, np.float32),
+                     kf_desc=np.asarray(kf_desc),
+                     kf_n=np.asarray(int(kf_n), np.int32),
+                     kf_idx=np.asarray(int(kf_idx), np.int32))
+    if odo._obs:
+        state.update(
+            obs_frame=np.asarray([f for f, _, _ in odo._obs], np.int32),
+            obs_lm=np.asarray([l for _, l, _ in odo._obs], np.int32),
+            obs_uv=np.stack([uv for _, _, uv in odo._obs]).astype(np.float32))
+    if odo._hist is not None:
+        state.update(hist_n=np.asarray(odo._hist_n, np.int32),
+                     **{f"hist_{k}": np.asarray(v)
+                        for k, v in odo._hist.items()})
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".npz.tmp")
     os.close(fd)
@@ -83,3 +101,15 @@ def load_vo(path: str, odo) -> None:
                             desc=jnp.asarray(z["desc"]),
                             valid=jnp.asarray(z["valid"]),
                             count=jnp.asarray(z["count"]))
+        if "kf_pose" in z:
+            odo._last_kf = (z["kf_pose"].astype(np.float32),
+                            z["kf_uv"].astype(np.float32),
+                            jnp.asarray(z["kf_desc"]),
+                            int(z["kf_n"]), int(z["kf_idx"]))
+        if "obs_frame" in z:
+            odo._obs = [(int(f), int(l), uv) for f, l, uv in
+                        zip(z["obs_frame"], z["obs_lm"], z["obs_uv"])]
+        if "hist_n" in z:
+            odo._hist_n = int(z["hist_n"])
+            odo._hist = {k: jnp.asarray(z[f"hist_{k}"]) for k in
+                         ("bits", "uv", "lm", "count", "frame", "pose")}

@@ -64,7 +64,9 @@ class ImageSequenceReader:
             # constant-size PGM fast path: same header => same offset
             try:
                 first = image_io.read_pgm(self.paths[0])
-                sizes = {os.path.getsize(p) for p in self.paths[:8]}
+                # all files must match: a later PGM with different dims or
+                # header length would be silently misread at a fixed offset
+                sizes = {os.path.getsize(p) for p in self.paths}
                 if len(sizes) == 1 and first.dtype == np.uint8:
                     from ..runtime import FrameLoader, available
                     if available():

@@ -76,8 +76,8 @@ def bundle_adjust_sharded(prob: ba.BAProblem, intr: Intrinsics,
             return poses, points, lam, cost_prev, it + 1
 
         def cond(state):
-            *_, lam, _, it = state[2], state[3], state[4]
-            return (state[4] < config.max_iters) & (state[2] < 1e6)
+            _, _, lam, _, it = state
+            return (it < config.max_iters) & (lam < 1e6)
 
         init = (prob_shard.poses, prob_shard.points,
                 jnp.asarray(config.damping_init, jnp.float32), c0,

@@ -36,6 +36,9 @@ def match_sharded(query: Descriptors, train: Descriptors, mesh: Mesh,
     """
     n_dev = mesh.shape[axis]
     t_total = train.bits.shape[0]
+    assert t_total < (1 << 31) // 258, (
+        f"train set of {t_total} rows overflows the int32 composite "
+        "tie-break key; shard the map or widen the key to int64")
     t_local = t_total // n_dev
 
     def run(q_bits, q_count, t_bits, t_count):
@@ -58,8 +61,11 @@ def match_sharded(query: Descriptors, train: Descriptors, mesh: Mesh,
         cand_i = cand_i.reshape(qn, n_dev * knn)
         # composite (distance, global-index) key: ties resolve to the lowest
         # global index, bit-identical to the single-device iterated argmin
-        # regardless of mesh size (clamp keeps PAD_DISTANCE from overflowing)
-        key = jnp.minimum(cand_d, 4096) * jnp.int32(t_total) + cand_i
+        # regardless of mesh size. True hamming distances are <= 256 for
+        # 256-bit rows, so clamping to 257 keeps PAD_DISTANCE representable
+        # while bounding the key at 258*t_total (int32-safe for t_total
+        # < 2^31/258 ~ 8.3M rows; asserted below at trace time).
+        key = jnp.minimum(cand_d, 257) * jnp.int32(t_total) + cand_i
         _, sel = jax.lax.top_k(-key, knn)
         final_i = jnp.take_along_axis(cand_i, sel, axis=1)
         neg2 = -jnp.take_along_axis(cand_d, sel, axis=1)

@@ -63,7 +63,7 @@ def _dedup_matches(good, ti, dist, n_landmarks: int):
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _track_step(img, map_points, map_desc, map_count,
-                kf_pose, kf_uv, kf_desc, key, intr,
+                kf_pose, kf_uv, kf_desc, kf_count, key, intr,
                 config: "VOConfig"):
     """The WHOLE per-frame compute as one compiled program: ORB frontend ->
     map matching -> RANSAC PnP -> keyframe matching + triangulation for map
@@ -79,9 +79,10 @@ def _track_step(img, map_points, map_desc, map_count,
     good = _dedup_matches(good, ti, m.distance[:, 0], map_points.shape[0])
     res = pnp.solve_pnp(key, map_points[ti], p.xy, intr,
                         valid_mask=good, config=config.ransac)
-    # extension candidates: match vs the last keyframe, triangulate
-    cap = kf_desc.shape[0]
-    kf = Descriptors(bits=kf_desc, count=jnp.asarray(cap, jnp.int32))
+    # extension candidates: match vs the last keyframe, triangulate.
+    # kf_count masks the zero-padded keyframe rows (a padded zero
+    # descriptor must never win a match and triangulate uv=(0,0) garbage)
+    kf = Descriptors(bits=kf_desc, count=kf_count)
     mk = bruteforce.match(d, kf, knn=2)
     ok = bruteforce.lowe_ratio_mask(mk, config.match_ratio) & ~good
     ti2 = mk.train_idx[:, 0]
@@ -114,7 +115,7 @@ def _insert_landmarks(m: "VOMap", new_pts, new_desc, new_mask):
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def track_window(frames: jax.Array, vomap: "VOMap", kf_pose, kf_uv, kf_desc,
-                 key, intr, config: "VOConfig"):
+                 kf_count, key, intr, config: "VOConfig"):
     """Track a WHOLE window of frames as one compiled program: lax.scan over
     frames carrying the device-resident map + keyframe state. Zero host
     round trips inside the window — the serving-throughput mode (the
@@ -129,7 +130,7 @@ def track_window(frames: jax.Array, vomap: "VOMap", kf_pose, kf_uv, kf_desc,
     n_frames = frames.shape[0]
 
     def step(carry, inp):
-        m, kf_p, kf_u, kf_d, k, last_pose, obs, cursor = carry
+        m, kf_p, kf_u, kf_d, kf_n, k, last_pose, obs, cursor = carry
         fidx, img = inp
         k, sub = jax.random.split(k)
         p, d = orb_detect_describe(img, config.orb)
@@ -144,10 +145,10 @@ def track_window(frames: jax.Array, vomap: "VOMap", kf_pose, kf_uv, kf_desc,
         ok = ((jnp.sum(good) >= min_inl)
               & (res.num_inliers >= min_inl))
         pose = jnp.where(ok, res.pose, last_pose)
-        # extension: match vs keyframe, triangulate, insert (only when ok)
+        # extension: match vs keyframe, triangulate, insert (only when ok);
+        # kf_n masks padded keyframe rows so they can't win matches
         cap = kf_d.shape[0]
-        mk = bruteforce.match(d, Descriptors(
-            bits=kf_d, count=jnp.asarray(cap, jnp.int32)), knn=2)
+        mk = bruteforce.match(d, Descriptors(bits=kf_d, count=kf_n), knn=2)
         cand = bruteforce.lowe_ratio_mask(mk, config.match_ratio) & ~good
         tri = triangulate_batch(kf_p, pose, intr, kf_u[mk.train_idx[:, 0]],
                                 p.xy)
@@ -187,7 +188,8 @@ def track_window(frames: jax.Array, vomap: "VOMap", kf_pose, kf_uv, kf_desc,
         kf_p = jnp.where(ok, pose, kf_p)
         kf_u = jnp.where(ok, fit(p.xy), kf_u)
         kf_d = jnp.where(ok, fit(d.bits), kf_d)
-        return ((m, kf_p, kf_u, kf_d, k, pose, obs, cursor),
+        kf_n = jnp.where(ok, jnp.minimum(p.count, cap), kf_n)
+        return ((m, kf_p, kf_u, kf_d, kf_n, k, pose, obs, cursor),
                 (pose, ok, res.num_inliers))
 
     ocap = n_frames * config.max_obs_per_frame
@@ -197,28 +199,96 @@ def track_window(frames: jax.Array, vomap: "VOMap", kf_pose, kf_uv, kf_desc,
                 valid=jnp.zeros(ocap, bool))
     init = (vomap, jnp.asarray(kf_pose, jnp.float32),
             jnp.asarray(kf_uv, jnp.float32), jnp.asarray(kf_desc),
+            jnp.asarray(kf_count, jnp.int32),
             key, jnp.asarray(kf_pose, jnp.float32), obs0,
             jnp.zeros((), jnp.int32))
     fids = jnp.arange(n_frames, dtype=jnp.int32)
     carry, (poses, oks, ninl) = jax.lax.scan(step, init, (fids, frames))
-    m, kf_p, kf_u, kf_d, _, _, obs, _ = carry
-    return poses, oks, ninl, m, (kf_p, kf_u, kf_d), obs
+    m, kf_p, kf_u, kf_d, kf_n, _, _, obs, _ = carry
+    return poses, oks, ninl, m, (kf_p, kf_u, kf_d, kf_n), obs
 
 
 @functools.partial(jax.jit, static_argnames=("ratio",))
-def _extend_compute(desc_p, kf_desc, kf_pose, pose, kf_uv, uv_p, intr,
-                    ratio: float):
+def _extend_compute(desc_p, kf_desc, kf_count, kf_pose, pose, kf_uv, uv_p,
+                    intr, ratio: float):
     """Match current frame vs keyframe, triangulate, depth-check — one
     compiled program so the host does a single device_get."""
     cap = desc_p.shape[0]
     q = Descriptors(bits=desc_p, count=jnp.asarray(cap, jnp.int32))
-    tr = Descriptors(bits=kf_desc, count=jnp.asarray(cap, jnp.int32))
+    tr = Descriptors(bits=kf_desc, count=jnp.asarray(kf_count, jnp.int32))
     m = bruteforce.match(q, tr, knn=2)
     ok = bruteforce.lowe_ratio_mask(m, ratio)
     ti = m.train_idx[:, 0]
     tri = triangulate_batch(kf_pose, pose, intr, kf_uv[ti], uv_p)
     depth = jax.vmap(lambda p: point_depth(pose, p))(tri)
     return ok, ti, tri, depth
+
+
+def _fit_rows(arr: jax.Array, cap: int, fill=0) -> jax.Array:
+    """Trim/pad leading dim to `cap` (static shapes; pad value `fill`)."""
+    n = arr.shape[0]
+    if n >= cap:
+        return arr[:cap]
+    return jnp.pad(arr, ((0, cap - n),) + ((0, 0),) * (arr.ndim - 1),
+                   constant_values=fill)
+
+
+@jax.jit
+def _hist_insert(hist, k, bits, uv, lm, count, frame, pose):
+    """Write one keyframe into slot k of the device-resident history."""
+    cap = hist["bits"].shape[1]
+    return dict(
+        bits=hist["bits"].at[k].set(_fit_rows(bits, cap)),
+        uv=hist["uv"].at[k].set(_fit_rows(uv.astype(jnp.float32), cap)),
+        lm=hist["lm"].at[k].set(_fit_rows(lm.astype(jnp.int32), cap,
+                                          fill=-1)),
+        count=hist["count"].at[k].set(jnp.minimum(count, cap)
+                                      .astype(jnp.int32)),
+        frame=hist["frame"].at[k].set(jnp.asarray(frame, jnp.int32)),
+        pose=hist["pose"].at[k].set(pose.astype(jnp.float32)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("ratio",))
+def _loop_scores(cur_bits, cur_n, hist_bits, hist_count, ratio: float):
+    """Good-match counts of the current keyframe vs EVERY stored keyframe —
+    one batched program (vmapped popcount-GEMM over the history tensor)
+    instead of the per-keyframe host loop of round 1 (one ~50 ms tunnel
+    round trip per stored keyframe)."""
+    q = Descriptors(bits=cur_bits, count=cur_n)
+
+    def one(bits, cnt):
+        m = bruteforce.match(q, Descriptors(bits=bits, count=cnt), knn=2)
+        return jnp.sum(bruteforce.lowe_ratio_mask(m, ratio))
+
+    return jax.vmap(one)(hist_bits, hist_count)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _loop_edge_compute(cur_bits, cur_uv, cur_n, hist, k, map_points, key,
+                       intr, config: "VOConfig"):
+    """Estimate the loop-closure pose: match current keyframe descriptors
+    against historic keyframe k, look up the 3-D landmarks its keypoints
+    observed, and PnP the current keypoints against them. Because those
+    landmarks live in the SAME map/gauge as the trajectory, the resulting
+    absolute pose carries consistent monocular scale — no separate scale
+    resolution step is needed (the VERDICT item 4 design)."""
+    old_bits = hist["bits"][k]
+    old_lm = hist["lm"][k]
+    old_n = hist["count"][k]
+    q = Descriptors(bits=cur_bits, count=cur_n)
+    t = Descriptors(bits=old_bits, count=old_n)
+    m = bruteforce.match(q, t, knn=2)
+    good = bruteforce.lowe_ratio_mask(m, config.match_ratio)
+    ti = m.train_idx[:, 0]
+    lm = old_lm[ti]
+    good = good & (lm >= 0)
+    lm_safe = jnp.maximum(lm, 0)
+    good = _dedup_matches(good, lm_safe, m.distance[:, 0],
+                          map_points.shape[0])
+    res = pnp.solve_pnp(key, map_points[lm_safe], cur_uv, intr,
+                        valid_mask=good, config=config.ransac)
+    return res.pose, res.num_inliers
 
 
 class VOMap(NamedTuple):
@@ -247,9 +317,12 @@ class VisualOdometry:
         self._last_kf = None
         # observation log (frame_idx, landmark_idx, uv) feeding windowed BA
         self._obs: List[Tuple[int, int, np.ndarray]] = []
-        # sparse keyframe history for loop-closure retrieval:
-        # (frame_idx, desc bits device array)
-        self._kf_history: List[Tuple[int, jax.Array]] = []
+        # sparse keyframe history for loop-closure retrieval: fixed-capacity
+        # DEVICE-resident tensors so detection is one batched program (a
+        # per-keyframe host loop costs ~50 ms tunnel round trip each)
+        self._hist = None
+        self._hist_n = 0
+        self.max_keyframes = 256
         self.keyframe_every = 5
 
     # ------------------------------------------------------------- helpers
@@ -304,6 +377,7 @@ class VisualOdometry:
         """Two-view init from matched pixel correspondences (N, 2) + the
         second view's descriptors (N, 8). Returns success."""
         cap = self.config.max_obs_per_frame
+        n2 = min(np.asarray(uv2).shape[0], cap)
         uv1, vmask = self._pad_rows(np.asarray(uv1, np.float32), cap)
         uv2, _ = self._pad_rows(np.asarray(uv2, np.float32), cap)
         desc2, _ = self._pad_rows(np.asarray(desc2), cap)
@@ -342,7 +416,7 @@ class VisualOdometry:
         for lid, g in zip(lids, gi):
             self._obs.append((0, int(lid), uv1[g]))
             self._obs.append((1, int(lid), uv2[g]))
-        self._last_kf = (wt2.astype(np.float32), uv2, desc2, 1)
+        self._last_kf = (wt2.astype(np.float32), uv2, desc2, n2, 1)
         self._initialized = True
         return True
 
@@ -381,7 +455,7 @@ class VisualOdometry:
         inl = inlier_mask & good
         for i in np.flatnonzero(inl):
             self._obs.append((fidx, int(ti[i]), uv_p[i]))
-        self._extend_map(uv_p, desc_p, pose, matched=good, frame_idx=fidx)
+        self._extend_map(uv_p, desc_p, n, pose, matched=good, frame_idx=fidx)
         return True
 
     def refine(self, window: Optional[int] = None) -> bool:
@@ -437,24 +511,24 @@ class VisualOdometry:
         return True
 
     # -------------------------------------------------------- map extension
-    def _extend_map(self, uv_p: np.ndarray, desc_p: np.ndarray,
+    def _extend_map(self, uv_p: np.ndarray, desc_p: np.ndarray, n_kp: int,
                     pose: np.ndarray, matched: np.ndarray,
                     frame_idx: int) -> None:
         """Triangulate NEW landmarks between this frame and the last keyframe
         for keypoints that did not match the map, then promote this frame to
         keyframe. All device steps are fixed-capacity (cap x cap match)."""
         kf = self._last_kf
-        self._last_kf = (pose, uv_p, desc_p, frame_idx)
+        self._last_kf = (pose, uv_p, desc_p, n_kp, frame_idx)
         if kf is None:
             return
-        kf_pose, kf_uv, kf_desc, kf_idx = kf
+        kf_pose, kf_uv, kf_desc, kf_n, kf_idx = kf
         space = self.config.max_landmarks - int(self.map.count)
         if space <= 0:
             return
         # one fused device program + ONE transfer (tunnel round trips are
         # ~50ms each; eager per-op dispatch here used to cost seconds/frame)
         ok, ti, tri, depth_new = jax.device_get(_extend_compute(
-            jnp.asarray(desc_p), jnp.asarray(kf_desc),
+            jnp.asarray(desc_p), jnp.asarray(kf_desc), kf_n,
             jnp.asarray(kf_pose), jnp.asarray(pose),
             jnp.asarray(kf_uv), jnp.asarray(uv_p), self.intr,
             ratio=self.config.match_ratio))
@@ -490,12 +564,13 @@ class VisualOdometry:
         runs as ONE device program (_track_step); only the small decision
         values cross the tunnel, keyframe state and the map stay on device."""
         assert self._initialized
-        kf_pose, kf_uv, kf_desc, kf_idx = self._last_kf
+        kf_pose, kf_uv, kf_desc, kf_n, kf_idx = self._last_kf
         (xy_d, bits_d, n_kp, good_d, ti_d, pose_d, inlier_d, num_inl_d,
          ok_d, tri_d, depth_d) = _track_step(
             jnp.asarray(img), self.map.points, self.map.desc, self.map.count,
             jnp.asarray(kf_pose), jnp.asarray(kf_uv), jnp.asarray(kf_desc),
-            self._split(), self.intr, self.config)
+            jnp.asarray(kf_n, jnp.int32), self._split(), self.intr,
+            self.config)
         # one transfer: decisions + obs data (device copies stay for kf/map)
         xy, good, ti, pose, inlier_mask, num_inl, ok, tri, depth = \
             jax.device_get((xy_d, good_d, ti_d, pose_d, inlier_d, num_inl_d,
@@ -508,12 +583,12 @@ class VisualOdometry:
         for i in np.flatnonzero(inlier_mask & good):
             self._obs.append((fidx, int(ti[i]), xy[i]))
         # map extension from the precomputed candidates (device-side insert)
-        self._last_kf = (pose_d, xy_d, bits_d, fidx)
-        if fidx % self.keyframe_every == 0:
-            self._kf_history.append((fidx, bits_d))
+        self._last_kf = (pose_d, xy_d, bits_d, n_kp, fidx)
         count = int(self.map.count)
         space = self.config.max_landmarks - count
         new = ok & np.isfinite(tri).all(1) & (depth > 0.05) & (depth < 1e3)
+        n_new = 0
+        gi = np.zeros((0,), np.int64)
         if space > 0 and new.any():
             self.map = _insert_landmarks(self.map, tri_d, bits_d,
                                          jnp.asarray(new))
@@ -521,6 +596,14 @@ class VisualOdometry:
             gi = np.flatnonzero(new)[:n_new]
             for lid, g in zip(range(count, count + n_new), gi):
                 self._obs.append((fidx, int(lid), xy[g]))
+        if fidx % self.keyframe_every == 0:
+            # per-keypoint landmark ids: map matches + freshly triangulated
+            lm = np.full(xy.shape[0], -1, np.int32)
+            sel = inlier_mask & good
+            lm[sel] = ti[sel]
+            if n_new:
+                lm[gi] = np.arange(count, count + n_new)
+            self._remember_keyframe(fidx, bits_d, xy_d, lm, n_kp, pose_d)
         return True
 
     def track_batch(self, frames, refine: bool = False) -> np.ndarray:
@@ -531,9 +614,9 @@ class VisualOdometry:
         observations runs before results come back — still zero extra
         round trips. Returns the (F,) success flags."""
         assert self._initialized
-        kf_pose, kf_uv, kf_desc, _ = self._last_kf
-        poses, oks, _, m, (kfp, kfu, kfd), obs = track_window(
-            jnp.asarray(frames), self.map, kf_pose, kf_uv, kf_desc,
+        kf_pose, kf_uv, kf_desc, kf_n, _ = self._last_kf
+        poses, oks, _, m, (kfp, kfu, kfd, kfn), obs = track_window(
+            jnp.asarray(frames), self.map, kf_pose, kf_uv, kf_desc, kf_n,
             self._split(), self.intr, self.config)
         if refine:
             prob = ba.BAProblem(
@@ -552,33 +635,83 @@ class VisualOdometry:
             if oks_h[f]:
                 self.trajectory.append(np.asarray(poses_h[f], np.float32))
         self.map = m
-        self._last_kf = (kfp, kfu, kfd, len(self.trajectory) - 1)
+        self._last_kf = (kfp, kfu, kfd, kfn, len(self.trajectory) - 1)
         return oks_h
 
     # ------------------------------------------------- loop closure / graph
+    def _remember_keyframe(self, fidx: int, bits, uv, lm, count, pose
+                           ) -> None:
+        """Store a keyframe (descriptors, pixels, per-keypoint landmark ids,
+        pose) into the device-resident loop-closure history."""
+        cap = self.config.max_obs_per_frame
+        if self._hist is None:
+            K = self.max_keyframes
+            self._hist = dict(
+                bits=jnp.zeros((K, cap, 8), jnp.uint32),
+                uv=jnp.zeros((K, cap, 2), jnp.float32),
+                lm=jnp.full((K, cap), -1, jnp.int32),
+                count=jnp.zeros((K,), jnp.int32),
+                frame=jnp.full((K,), -1, jnp.int32),
+                pose=jnp.zeros((K, 6), jnp.float32))
+        if self._hist_n >= self.max_keyframes:
+            return
+        self._hist = _hist_insert(
+            self._hist, self._hist_n, jnp.asarray(bits),
+            jnp.asarray(uv), jnp.asarray(lm), jnp.asarray(count),
+            fidx, jnp.asarray(pose))
+        self._hist_n += 1
+
     def detect_loop(self, min_matches: int = 40, exclude_recent: int = 20
-                    ) -> Optional[Tuple[int, int]]:
-        """Descriptor-retrieval loop candidate: match the current keyframe's
-        descriptors against the stored keyframe history (excluding recent
-        frames). Returns (frame_idx, n_matches) of the best candidate, or
-        None. (Beyond-reference: place recognition over hamming matching.)"""
-        if self._last_kf is None:
+                    ) -> Optional[Tuple[int, int, int]]:
+        """Descriptor-retrieval loop candidate: ONE batched device program
+        matches the current keyframe against the whole stored history
+        (excluding recent frames). Returns (frame_idx, n_matches, hist_slot)
+        of the best candidate, or None. (Beyond-reference: place recognition
+        over hamming matching.)"""
+        if self._last_kf is None or self._hist is None or self._hist_n == 0:
             return None
-        _, _, cur_bits, cur_idx = self._last_kf
-        cap = cur_bits.shape[0]
-        q = Descriptors(bits=jnp.asarray(cur_bits),
-                        count=jnp.asarray(cap, jnp.int32))
+        _, _, cur_bits, cur_n, cur_idx = self._last_kf
+        scores, frames_h = jax.device_get((
+            _loop_scores(jnp.asarray(cur_bits),
+                         jnp.asarray(cur_n, jnp.int32),
+                         self._hist["bits"], self._hist["count"],
+                         self.config.match_ratio),
+            self._hist["frame"]))
         best = None
-        for fidx, bits in self._kf_history:
+        for k in range(self._hist_n):
+            fidx, n = int(frames_h[k]), int(scores[k])
             if cur_idx - fidx < exclude_recent:
                 continue
-            tr = Descriptors(bits=bits, count=jnp.asarray(cap, jnp.int32))
-            m = bruteforce.match(q, tr, knn=2)
-            n = int(jnp.sum(bruteforce.lowe_ratio_mask(
-                m, self.config.match_ratio)))
             if n >= min_matches and (best is None or n > best[1]):
-                best = (fidx, n)
+                best = (fidx, n, k)
         return best
+
+    def close_loop(self, min_matches: int = 40, exclude_recent: int = 20,
+                   min_inliers: int = 15, weight: float = 10.0,
+                   iters: int = 30) -> bool:
+        """Fully automatic loop closure: detect a revisited keyframe,
+        estimate the loop pose by PnP of the current keypoints against the
+        old keyframe's landmarks (consistent monocular scale — the map IS
+        the gauge), form the loop edge, and refine the whole trajectory
+        with the pose graph. Returns True when a loop was closed."""
+        hit = self.detect_loop(min_matches, exclude_recent)
+        if hit is None:
+            return False
+        fidx_old, _, k = hit
+        kf_pose, kf_uv, kf_bits, kf_n, cur_idx = self._last_kf
+        pose_j, ninl = jax.device_get(_loop_edge_compute(
+            jnp.asarray(kf_bits), jnp.asarray(kf_uv, jnp.float32),
+            jnp.asarray(kf_n, jnp.int32), self._hist,
+            jnp.asarray(k, jnp.int32), self.map.points, self._split(),
+            self.intr, self.config))
+        if int(ninl) < min_inliers:
+            return False
+        from .camera import se3_relative
+        z = np.asarray(se3_relative(
+            jnp.asarray(self.trajectory[fidx_old]),
+            jnp.asarray(pose_j, jnp.float32)), np.float32)
+        return self.optimize_posegraph(
+            loop_edges=[(fidx_old, cur_idx, z, weight)], iters=iters)
 
     def optimize_posegraph(self, loop_edges=None, iters: int = 30) -> bool:
         """Global trajectory refinement over sequential odometry edges plus

@@ -147,6 +147,36 @@ class TestCheckpoint:
         np.testing.assert_allclose(odo2.trajectory[1], np.arange(6))
         assert int(odo2.map.count) == 0
 
+    def test_vo_resume_tracks_after_restore(self, tmp_path):
+        """The snapshot carries the keyframe + obs log + loop history, so a
+        restored VO can immediately track (round-1 bug: _last_kf was not
+        persisted and the first resumed track() crashed)."""
+        from compv_tpu.io import datasets
+        from compv_tpu.slam import camera, vo
+        from compv_tpu.core.config import RansacConfig, OrbConfig, BAConfig
+        frames, gt, (fx, fy, cx, cy) = datasets.synthetic_sequence(
+            n_frames=5, h=120, w=160, n_landmarks=200, fx=140.0)
+        intr = camera.Intrinsics.make(fx, fy, cx, cy)
+        cfg = vo.VOConfig(
+            max_landmarks=512, max_obs_per_frame=256, min_track_inliers=10,
+            ransac=RansacConfig(max_iters=256, batch=64, threshold=9.0),
+            essential=RansacConfig(max_iters=512, batch=128, threshold=2e-5),
+            ba=BAConfig(max_iters=2), orb=OrbConfig(levels=2,
+                                                    max_features=256))
+        odo = vo.VisualOdometry(intr, cfg)
+        odo.keyframe_every = 2
+        assert odo.initialize(frames[0], frames[1])
+        assert odo.track(frames[2])
+        p = str(tmp_path / "vo_resume.npz")
+        checkpoint.save_vo(p, odo)
+        odo2 = vo.VisualOdometry(intr, cfg)
+        checkpoint.load_vo(p, odo2)
+        assert odo2._last_kf is not None
+        assert odo2._hist_n == odo._hist_n
+        assert len(odo2._obs) == len(odo._obs)
+        assert odo2.track(frames[3])       # resumes without crashing
+        assert len(odo2.trajectory) == 4
+
 
 class TestCamera:
     def test_run_loop_early_stop(self):

@@ -123,10 +123,13 @@ class TestVO:
                                           dtype=np.uint64).astype(np.uint32))
         bits_b = jnp.asarray(rng.integers(0, 2 ** 32, (512, 8),
                                           dtype=np.uint64).astype(np.uint32))
-        odo._kf_history = [(0, bits_a), (5, bits_b)]
+        uv = np.zeros((512, 2), np.float32)
+        lm = np.full((512,), -1, np.int32)
+        odo._remember_keyframe(0, bits_a, uv, lm, 512, np.zeros(6, np.float32))
+        odo._remember_keyframe(5, bits_b, uv, lm, 512, np.zeros(6, np.float32))
         # current keyframe re-observes frame 0's descriptors
         odo._last_kf = (np.zeros(6, np.float32), np.zeros((512, 2)),
-                        bits_a, 30)
+                        bits_a, 512, 30)
         hit = odo.detect_loop(min_matches=100, exclude_recent=10)
         assert hit is not None and hit[0] == 0
 
