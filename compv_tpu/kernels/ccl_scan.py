@@ -122,7 +122,12 @@ def _rowscan(lbl: jax.Array, big: float, connectivity: int) -> jax.Array:
 @functools.partial(jax.jit,
                    static_argnames=("connectivity", "max_sweeps"))
 def label_pallas(binary: jax.Array, connectivity: int = 8,
-                 max_sweeps: int = 64, init: jax.Array = None) -> jax.Array:
+                 max_sweeps: int = 1024, init: jax.Array = None) -> jax.Array:
+    # max_sweeps is a safety bound only — the while_loop exits at the
+    # fixpoint. 64 was too low: a snaking component with >64 "turns"
+    # (e.g. 3.7k-px squiggles in random-noise images) stopped unconverged
+    # and silently split into several labels (caught in round 2 by
+    # differential tests against the tiled union-merge path).
     """(H, W) int32 labels, same contract as features/ccl.label: foreground
     pixels share their component's min linear index; background = H*W."""
     h, w = binary.shape
