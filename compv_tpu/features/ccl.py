@@ -35,6 +35,31 @@ class Components(NamedTuple):
     centroids: jax.Array  # (C, 2) float32
     roots: jax.Array      # (C,) int32 — root linear index (stable id)
     count: jax.Array      # () int32
+    moments: jax.Array    # (C, 6) f32: sum(1), sum(x), sum(y),
+    #                       sum(x*x), sum(x*y), sum(y*y)
+    #                       (reference CompVConnectedComponentMoments,
+    #                       compv_ccl.h:39)
+
+
+class Runs(NamedTuple):
+    """Fixed-capacity per-row run-length table (the reference's RLE/RLC
+    "segments" result, COMPV_PLSL_TYPE_RLE, sorted top->down left->right
+    per COMPV_PLSL_SET_BOOL_SORT_SEGMENTS)."""
+
+    y: jax.Array          # (R,) int32 row
+    x0: jax.Array         # (R,) int32 run start (inclusive)
+    x1: jax.Array         # (R,) int32 run end (inclusive)
+    root: jax.Array       # (R,) int32 component root of the run
+    count: jax.Array      # () int32 — number of valid runs
+
+
+class BlobPoints(NamedTuple):
+    """Per-component pixel lists at fixed capacity (reference
+    extract(COMPV_CCL_EXTRACT_TYPE_BLOB))."""
+
+    xy: jax.Array         # (C, cap, 2) int32 (x, y)
+    counts: jax.Array     # (C,) int32 — true pixel count (may exceed cap;
+    #                       the list is then truncated, row-major order)
 
 
 def _neighbor_min(lbl: jax.Array, fg: jax.Array, connectivity: int) -> jax.Array:
@@ -338,45 +363,224 @@ def label(binary: jax.Array, connectivity: int = 8,
                       max_iters=max_iters, init=init)
 
 
-@functools.partial(jax.jit, static_argnames=("max_components",))
-def extract_components(labels: jax.Array, max_components: int = 256
-                       ) -> Components:
-    """Boxes/areas/centroids of the top-K components by area (reference
-    CompVConnectedComponentLabelingResultLSL extract)."""
+def _seg_scan_sum(vals, new):
+    """Inclusive segmented sum scan: resets where `new` is True."""
+
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return (jnp.where(bf, bv, av + bv), af | bf)
+
+    out, _ = jax.lax.associative_scan(op, (vals, new))
+    return out
+
+
+def _seg_scan_minmax(vals, new, take_min):
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        m = jnp.minimum(av, bv) if take_min else jnp.maximum(av, bv)
+        return (jnp.where(bf, bv, m), af | bf)
+
+    out, _ = jax.lax.associative_scan(op, (vals, new))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("max_components", "max_runs"))
+def extract_components(labels: jax.Array, max_components: int = 256,
+                       max_runs: int = 262144) -> Components:
+    """Boxes/areas/centroids/moments of the top-K components by area
+    (reference CompVConnectedComponentLabelingResultLSL extract +
+    CompVConnectedComponentMoments).
+
+    Run-based, exactly like the reference's LSL result: compact the
+    per-row runs with one sort (`_run_table`), compute each run's stats
+    in CLOSED FORM from its endpoints (sum of x over a run is an
+    arithmetic series — no per-pixel reduction at all), then aggregate
+    runs per component with one small sort + segmented scans. The only
+    full-image-sized op is the run-compaction sort — measured ~15x faster
+    than per-stat segment_sum ops on v5e, where scatter-based keyed
+    reductions cost ~6 ns/element vs ~0.6 for sort. `max_runs` must be
+    >= the true run count (compare Components.count drop / Runs.count)."""
     h, w = labels.shape
     n = h * w
     flat = labels.reshape(-1)
-    ys = (jnp.arange(n, dtype=jnp.int32) // w)
-    xs = (jnp.arange(n, dtype=jnp.int32) % w)
-    fg = flat < n
-    seg = jnp.where(fg, flat, n)  # background into the overflow bucket
-    ones = fg.astype(jnp.int32)
-    area = jax.ops.segment_sum(ones, seg, num_segments=n + 1)
-    x0 = jax.ops.segment_min(jnp.where(fg, xs, w), seg, num_segments=n + 1)
-    x1 = jax.ops.segment_max(jnp.where(fg, xs, -1), seg, num_segments=n + 1)
-    y0 = jax.ops.segment_min(jnp.where(fg, ys, h), seg, num_segments=n + 1)
-    y1 = jax.ops.segment_max(jnp.where(fg, ys, -1), seg, num_segments=n + 1)
-    sx = jax.ops.segment_sum(jnp.where(fg, xs, 0).astype(jnp.float32), seg,
-                             num_segments=n + 1)
-    sy = jax.ops.segment_sum(jnp.where(fg, ys, 0).astype(jnp.float32), seg,
-                             num_segments=n + 1)
-    area_roots = area.at[n].set(0)  # drop background bucket
-    k = min(max_components, n)
-    top_area, roots = jax.lax.top_k(area_roots, k)
+    s, e, rvalid, _ = _run_table(labels, max_runs)
+    root = jnp.where(rvalid, flat[jnp.minimum(s, n - 1)], n)
+    y = (s // w).astype(jnp.float32)
+    x0r = (s % w).astype(jnp.float32)
+    x1r = (e % w).astype(jnp.float32)
+    ln = jnp.where(rvalid, x1r - x0r + 1.0, 0.0)
+    # closed-form per-run moment contributions
+
+    def s1(a, b):          # sum_{x=a..b} x
+        return (a + b) * (b - a + 1.0) * 0.5
+
+    def s2(b):             # sum_{x=0..b} x^2
+        return b * (b + 1.0) * (2.0 * b + 1.0) / 6.0
+
+    sumx = jnp.where(rvalid, s1(x0r, x1r), 0.0)
+    sumxx = jnp.where(rvalid, s2(x1r) - s2(x0r - 1.0), 0.0)
+    sumy = y * ln
+    sumxy = y * sumx
+    sumyy = y * y * ln
+    # group runs by component: one small multi-operand sort
+    (g_root, g_ln, g_sumx, g_sumy, g_sumxx, g_sumxy, g_sumyy, g_x0, g_x1,
+     g_y) = jax.lax.sort(
+        (root, ln, sumx, sumy, sumxx, sumxy, sumyy, x0r, x1r, y),
+        num_keys=1)
+    new = jnp.concatenate([jnp.ones((1,), bool), g_root[1:] != g_root[:-1]])
+    fgr = g_root < n
+    area = _seg_scan_sum(g_ln, new)
+    sx = _seg_scan_sum(g_sumx, new)
+    sy = _seg_scan_sum(g_sumy, new)
+    sxx = _seg_scan_sum(g_sumxx, new)
+    sxy = _seg_scan_sum(g_sumxy, new)
+    syy = _seg_scan_sum(g_sumyy, new)
+    bx0 = _seg_scan_minmax(jnp.where(fgr, g_x0, w), new, True)
+    bx1 = _seg_scan_minmax(jnp.where(fgr, g_x1, -1.0), new, False)
+    by0 = _seg_scan_minmax(jnp.where(fgr, g_y, h), new, True)
+    by1 = _seg_scan_minmax(jnp.where(fgr, g_y, -1.0), new, False)
+    is_end = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
+    key = jnp.where(is_end & fgr, area, 0.0)
+    k = min(max_components, max_runs)
+    top_area, pos = jax.lax.top_k(key, k)
     if k < max_components:
         top_area = jnp.pad(top_area, (0, max_components - k))
-        roots = jnp.pad(roots, (0, max_components - k))
+        pos = jnp.pad(pos, (0, max_components - k))
     valid = top_area > 0
-    safe_area = jnp.maximum(top_area, 1).astype(jnp.float32)
-    boxes = jnp.stack([x0[roots], y0[roots], x1[roots], y1[roots]], axis=1)
-    cent = jnp.stack([sx[roots] / safe_area, sy[roots] / safe_area], axis=1)
+    safe_area = jnp.maximum(top_area, 1.0)
+    roots = g_root[pos]
+    boxes = jnp.stack([bx0[pos], by0[pos], bx1[pos], by1[pos]], axis=1)
+    cent = jnp.stack([sx[pos] / safe_area, sy[pos] / safe_area], axis=1)
+    mom = jnp.stack([top_area, sx[pos], sy[pos],
+                     sxx[pos], sxy[pos], syy[pos]], axis=1)
     return Components(
         boxes=jnp.where(valid[:, None], boxes, 0).astype(jnp.int32),
         areas=jnp.where(valid, top_area, 0).astype(jnp.int32),
         centroids=jnp.where(valid[:, None], cent, 0.0),
         roots=jnp.where(valid, roots, -1).astype(jnp.int32),
         count=jnp.sum(valid).astype(jnp.int32),
+        moments=jnp.where(valid[:, None], mom, 0.0),
     )
+
+
+def _run_table(labels: jax.Array, max_runs: int):
+    """Compact the per-row runs of a labeled image into (start, end)
+    linear-index arrays of static size `max_runs` with ONE pair sort:
+    run length is computed per start pixel by a reverse segmented row
+    scan (elementwise), then (start_key, len) pairs sort start indices
+    to the front. Returns (s, e, valid, true_count)."""
+    h, w = labels.shape
+    n = h * w
+    fg = labels < n
+    left = jnp.pad(fg, ((0, 0), (1, 0)))[:, :w]
+    start = fg & ~left
+
+    def op(a, b):          # suffix run-length scan, resets at background
+        av, af = a
+        bv, bf = b
+        return (jnp.where(bf, bv, av + bv), af | bf)
+
+    runlen, _ = jax.lax.associative_scan(
+        op, (fg.astype(jnp.int32), ~fg), axis=1, reverse=True)
+    big = jnp.int32(n)
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    key = jnp.where(start, idx, big).reshape(-1)
+    s_sorted, len_sorted = jax.lax.sort(
+        (key, runlen.reshape(-1)), num_keys=1)
+    s = s_sorted[:max_runs]
+    ln = len_sorted[:max_runs]
+    valid = s < big
+    e = jnp.where(valid, s + ln - 1, n)
+    return (jnp.where(valid, s, n), e, valid,
+            jnp.sum(start.astype(jnp.int32)))
+
+
+@functools.partial(jax.jit, static_argnames=("max_runs",))
+def extract_runs(labels: jax.Array, max_runs: int = 4096) -> Runs:
+    """Per-row run-length segments of the labeled image (reference LSL's
+    RLC/RLE result, core/ccl/compv_core_ccl_lsl_result.cxx): each
+    maximal horizontal run of one component yields (y, x0, x1, root),
+    sorted top->down then left->right, truncated at `max_runs` (compare
+    `count` against it to detect truncation)."""
+    h, w = labels.shape
+    n = h * w
+    flat = labels.reshape(-1)
+    s, e, valid, count = _run_table(labels, max_runs)
+    root = jnp.where(valid, flat[jnp.minimum(s, n - 1)], -1)
+    return Runs(
+        y=jnp.where(valid, s // w, -1).astype(jnp.int32),
+        x0=jnp.where(valid, s % w, -1).astype(jnp.int32),
+        x1=jnp.where(valid, e % w, -1).astype(jnp.int32),
+        root=root.astype(jnp.int32),
+        count=count,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def extract_blob_points(labels: jax.Array, roots: jax.Array,
+                        cap: int = 1024) -> BlobPoints:
+    """Pixel lists of the components whose root ids are in `roots` (C,)
+    (reference extract(COMPV_CCL_EXTRACT_TYPE_BLOB), lsl_result.cxx).
+    One global sort groups each component's pixels contiguously; per-blob
+    windows are then gathered at the component offsets — no per-blob
+    image passes. Invalid roots (-1) yield count 0."""
+    h, w = labels.shape
+    n = h * w
+    flat = labels.reshape(-1)
+    order_key = jnp.where(flat < n, flat, n)
+    sorted_lab, sorted_idx = jax.lax.sort(
+        (order_key, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    # first occurrence offset of each root via searchsorted on the sorted
+    # labels; counts from the matching range end
+    roots = roots.astype(jnp.int32)
+    safe = jnp.maximum(roots, 0)
+    lo = jnp.searchsorted(sorted_lab, safe)
+    hi = jnp.searchsorted(sorted_lab, safe, side="right")
+    counts = jnp.where(roots >= 0, hi - lo, 0).astype(jnp.int32)
+
+    def one(lo_k, cnt_k):
+        pos = lo_k + jnp.arange(cap, dtype=jnp.int32)
+        ok = jnp.arange(cap) < cnt_k
+        pix = sorted_idx[jnp.minimum(pos, n - 1)]
+        x = jnp.where(ok, pix % w, -1)
+        y = jnp.where(ok, pix // w, -1)
+        return jnp.stack([x, y], axis=1)
+
+    xy = jax.vmap(one)(lo, counts)
+    return BlobPoints(xy=xy.astype(jnp.int32), counts=counts)
+
+
+@jax.jit
+def remove_components(labels: jax.Array, roots: jax.Array) -> jax.Array:
+    """Erase the components whose root ids are in `roots` (C,) — the
+    reference's CompVConnectedComponentCallbackRemoveLabel path
+    (compv_ccl.h:151). Entries of -1 are ignored. Returns new labels with
+    those components set to background."""
+    h, w = labels.shape
+    n = h * w
+    # flag table indexed by root id (a broadcast compare would materialize
+    # an (H, W, C) boolean — hundreds of MB at HD shapes)
+    table = jnp.zeros(n + 1, bool).at[
+        jnp.where(roots >= 0, roots, n)].set(roots >= 0)
+    kill = table[jnp.minimum(labels, n)]
+    return jnp.where(kill, jnp.int32(n), labels)
+
+
+@functools.partial(jax.jit, static_argnames=("max_components",))
+def flatten_labels(labels: jax.Array, max_components: int = 256
+                   ) -> jax.Array:
+    """Dense relabeling: top-K components get ids 1..K by decreasing area,
+    background/others 0 (reference debugFlatten, compv_ccl.h:121 — there
+    marked not-implemented; useful for visualization)."""
+    comps = extract_components(labels, max_components)
+    h, w = labels.shape
+    dense = jnp.zeros(h * w + 1, jnp.int32)
+    ids = jnp.arange(1, max_components + 1, dtype=jnp.int32)
+    dense = dense.at[jnp.where(comps.roots >= 0, comps.roots, h * w)].set(
+        jnp.where(comps.roots >= 0, ids, 0))
+    return dense[jnp.minimum(labels, h * w)]
 
 
 @register("ccl", "propagate")

@@ -108,6 +108,67 @@ class TestCCL:
         comps = ccl.extract_components(ccl.label(jnp.asarray(img)), 4)
         np.testing.assert_allclose(np.asarray(comps.centroids)[0], [7.5, 5.5])
 
+    def test_moments(self):
+        """Second-order component moments (reference
+        CompVConnectedComponentMoments: sum1,sumx,sumy,sumxx,sumxy,sumyy)."""
+        img = np.zeros((16, 16), np.uint8)
+        img[4:8, 6:10] = 255
+        comps = ccl.extract_components(ccl.label(jnp.asarray(img)), 4)
+        ys, xs = np.where(img > 0)
+        expect = [len(xs), xs.sum(), ys.sum(), (xs * xs).sum(),
+                  (xs * ys).sum(), (ys * ys).sum()]
+        np.testing.assert_allclose(np.asarray(comps.moments)[0], expect)
+
+    def test_extract_runs_rle(self):
+        """Run-length segments sorted top->down left->right (reference
+        COMPV_PLSL_TYPE_RLE + SORT_SEGMENTS semantics)."""
+        img = np.zeros((6, 12), np.uint8)
+        img[1, 2:5] = 1          # run (1, 2..4)
+        img[1, 7:9] = 1          # run (1, 7..8)
+        img[3, 0:12] = 1         # run (3, 0..11)
+        img[4, 5] = 1            # run (4, 5..5)
+        lbl = ccl.label(jnp.asarray(img))
+        runs = ccl.extract_runs(lbl, max_runs=8)
+        assert int(runs.count) == 4
+        got = [(int(runs.y[i]), int(runs.x0[i]), int(runs.x1[i]))
+               for i in range(4)]
+        assert got == [(1, 2, 4), (1, 7, 8), (3, 0, 11), (4, 5, 5)]
+        # run roots match the label image
+        for i in range(4):
+            y, x0 = got[i][0], got[i][1]
+            assert int(runs.root[i]) == int(np.asarray(lbl)[y, x0])
+
+    def test_extract_blob_points(self):
+        rng = np.random.default_rng(3)
+        img = (rng.random((40, 56)) < 0.3).astype(np.uint8)
+        lbl = ccl.label(jnp.asarray(img))
+        comps = ccl.extract_components(lbl, 16)
+        blobs = ccl.extract_blob_points(lbl, comps.roots, cap=256)
+        lab = np.asarray(lbl)
+        for k in range(int(comps.count)):
+            root = int(comps.roots[k])
+            ys, xs = np.where(lab == root)
+            cnt = int(blobs.counts[k])
+            assert cnt == len(xs)
+            got = np.asarray(blobs.xy)[k, :cnt]
+            expect = set(zip(xs.tolist(), ys.tolist()))
+            assert set(map(tuple, got.tolist())) == expect
+
+    def test_remove_and_flatten(self):
+        img = np.zeros((20, 20), np.uint8)
+        img[2:5, 2:5] = 1        # area 9
+        img[10:18, 10:18] = 1    # area 64
+        lbl = ccl.label(jnp.asarray(img))
+        comps = ccl.extract_components(lbl, 8)
+        # flatten: biggest component gets id 1
+        flat = np.asarray(ccl.flatten_labels(lbl, 8))
+        assert flat[12, 12] == 1 and flat[3, 3] == 2 and flat[0, 0] == 0
+        # remove the small one
+        lbl2 = ccl.remove_components(lbl, jnp.asarray(
+            [int(comps.roots[1])], jnp.int32))
+        c2 = ccl.extract_components(lbl2, 8)
+        assert int(c2.count) == 1 and int(c2.areas[0]) == 64
+
     def test_tiled_vs_scan_differential(self):
         """label_tiled is a structurally independent algorithm (tile-local
         converge + boundary-slot union-find); exact agreement with the
