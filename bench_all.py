@@ -1,20 +1,37 @@
-"""Per-op benchmark sweep vs the reference's speed_compare table.
+"""Per-op benchmark sweep vs the reference's speed_compare table, with a
+ROOFLINE column (round-1 VERDICT item 2).
 
-Runs every op with a reference number (BASELINE.md) at the reference's
-shapes on the real TPU chip and prints ms/frame + speedup. The driver-facing
-headline stays in bench.py; this is the engineering scorecard.
+Method: each op is timed INSIDE one jitted lax.scan program over K distinct
+device-generated inputs, as (t(K2)-t(K1))/(K2-K1) best-of-trials — the
+remote-TPU tunnel adds ~2 ms of bursty per-dispatch latency and caches
+repeat dispatches, so naive host-side loops misread by 10-100x in both
+directions.
+
+Roofline: per op we list the MINIMUM HBM traffic (input+output bytes; the
+compulsory misses) and report attained GB/s = min_bytes / time against the
+v5e HBM peak (819 GB/s). Ops dominated by matmul (hamming matching) also
+report attained TOPS vs the v5e int8/bf16 MXU peak. "pct" is attained as a
+fraction of the roofline — 100% means the op is at the memory (or compute)
+speed of light; low pct on tiny inputs mostly reflects fixed launch
+overheads rather than kernel quality.
+
+Workloads match the reference's (speed_compare): HD 1282x720 frames, the
+1285^2 morphology shape, and for CCL/MSER a dense TEXT-LIKE 1122x1182 image
+(many glyph components) instead of round 1's random noise / checkerboard.
 
 Usage: python bench_all.py [--csv]
 """
 import sys
-import time
 import os
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
 HD = (720, 1282)
+HBM_GBPS = 819.0          # v5e HBM peak
+MXU_INT8_TOPS = 394.0     # v5e int8 peak
 
 # reference ms/frame = total_ms / iterations (BASELINE.md, speed_compare)
 REF_MS = {
@@ -36,38 +53,21 @@ REF_MS = {
     "erode3": 449 / 10000,
     "close3": 794 / 10000,
     "ccl": 2973 / 10000,
+    "ccl_extract": 956 / 10000,
     "mser": 27072 / 1000,
     "hog": 5198 / 1000,
 }
 
 
-def timeit(fn, *args, iters=50, trials=3):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best * 1e3  # ms
-
-
-def timeit_varied(fn, inputs, trials=2):
-    """Per-frame time over DISTINCT inputs — same-input loops overlap
-    asynchronously and can read ~10x too fast for while_loop-heavy ops."""
-    import jax
-    out = fn(inputs[0])
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        outs = [fn(x) for x in inputs]
-        jax.block_until_ready(outs)
-        best = min(best, (time.perf_counter() - t0) / len(inputs))
-    return best * 1e3
+def text_image(h=1122, w=1182, seed=0):
+    """Dense glyph-like binary/gray image — the reference CCL/MSER workload
+    class (their numbers are on a 1122x1182 text scan)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (((yy // 3) % 3 != 0)
+           & ((xx // 2 + (yy // 7) * 3) % 5 < 2)).astype(np.uint8)
+    img &= (rng.random((h, w)) < 0.9)
+    return img
 
 
 def main():
@@ -95,89 +95,162 @@ def main():
     u_p = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2), np.uint8))
     v_p = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2), np.uint8))
 
-    results = {}
+    def bench(fn, base, K1=2, K2=10, trials=3, roll_axis=0):
+        """Marginal per-call ms inside one scan program; `base` is the
+        device input rolled by the scan index for distinct inputs."""
 
-    results["rgb24_to_gray"] = timeit(jax.jit(color.rgb_to_gray), rgb)
-    results["yuv420_to_rgb"] = timeit(jax.jit(color.yuv420_to_rgb),
-                                      y_p, u_p, v_p)
-    results["rgb_to_hsv"] = timeit(jax.jit(color.rgb_to_hsv), rgb)
-    results["histogram"] = timeit(jax.jit(histogram.histogram256), gray)
-    results["equalize"] = timeit(jax.jit(histogram.equalize), gray)
-    fast_fn = jax.jit(lambda x: fast_mod.fast_detect(
-        x, FastConfig(threshold=20, max_features=2000)))
-    results["fast9_nms"] = timeit(fast_fn, gray)
-    results["scale_bilinear"] = timeit(
-        jax.jit(lambda x: resize.resize_bilinear(x, 597, 1064)), gray)
-    results["gaussian_blur7"] = timeit(
-        jax.jit(lambda x: convolve.gaussian_blur(x, 7, 2.0)), gray)
-    results["sobel"] = timeit(jax.jit(lambda x: convolve.gradients(x)), gray)
-    results["adaptive_thresh"] = timeit(
-        jax.jit(lambda x: threshold.threshold_adaptive(x, 5, 8.0)), gray)
-    results["otsu"] = timeit(
-        jax.jit(lambda x: threshold.otsu_threshold(x)[1]), gray)
+        def make(K):
+            @jax.jit
+            def run():
+                def body(c, i):
+                    # the input must change VALUE per iteration, not just
+                    # permute: XLA knows sum(f(roll(x))) is loop-invariant
+                    # for elementwise f and hoists the whole body (reads
+                    # 0 ms); adding i defeats that
+                    v = jnp.roll(base, i * 7 + 1,
+                                 axis=roll_axis) + i.astype(base.dtype)
+                    out = fn(v)
+                    # reduce over EVERY output element: a [0]-element probe
+                    # lets XLA dead-code-eliminate the op body (elementwise
+                    # ops then "run" in 0 ms — computing exactly one pixel)
+                    acc = c
+                    for leaf in jax.tree.leaves(out):
+                        acc = acc + jnp.sum(leaf.astype(jnp.float32))
+                    return acc, None
+                o, _ = jax.lax.scan(body, jnp.float32(0),
+                                    jnp.arange(K, dtype=jnp.int32))
+                return o
+            return run
+
+        r1, r2 = make(K1), make(K2)
+        jax.block_until_ready(r1())
+        jax.block_until_ready(r2())
+
+        def tmin(r):
+            best = 1e9
+            for _ in range(trials):
+                t0 = time.perf_counter()
+                jax.block_until_ready(r())
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (tmin(r2) - tmin(r1)) / (K2 - K1) * 1e3
+
+    HW = h * w
+    results = {}   # name -> (ms, min_bytes, flops)
+
+    results["rgb24_to_gray"] = (
+        bench(color.rgb_to_gray, rgb), 4 * HW, 0)
+    results["yuv420_to_rgb"] = (
+        bench(lambda y: color.yuv420_to_rgb(y, u_p, v_p), y_p),
+        4.5 * HW, 0)
+    results["rgb_to_hsv"] = (bench(color.rgb_to_hsv, rgb), 6 * HW, 0)
+    results["histogram"] = (bench(histogram.histogram256, gray),
+                            HW + 1024, 0)
+    results["equalize"] = (bench(histogram.equalize, gray), 2 * HW, 0)
+    results["fast9_nms"] = (
+        bench(lambda x: fast_mod.fast_detect(
+            x, FastConfig(threshold=20, max_features=2000)), gray),
+        2 * HW, 0)
+    results["scale_bilinear"] = (
+        bench(lambda x: resize.resize_bilinear(x, 597, 1064), gray),
+        HW + 597 * 1064, 0)
+    results["gaussian_blur7"] = (
+        bench(lambda x: convolve.gaussian_blur(x, 7, 2.0), gray),
+        2 * HW, 14 * HW)
+    results["sobel"] = (bench(convolve.gradients, gray), 5 * HW, 18 * HW)
+    results["adaptive_thresh"] = (
+        bench(lambda x: threshold.threshold_adaptive(x, 5, 8.0), gray),
+        2 * HW, 0)
+    results["otsu"] = (
+        bench(lambda x: threshold.otsu_threshold(x)[1], gray), 2 * HW, 0)
 
     tb = jnp.asarray(rng.integers(0, 2 ** 32, (200, 8), np.uint64)
                      .astype(np.uint32))
     qb = jnp.asarray(rng.integers(0, 2 ** 32, (258, 8), np.uint64)
                      .astype(np.uint32))
     tr = Descriptors(bits=tb, count=jnp.asarray(200, jnp.int32))
-    q = Descriptors(bits=qb, count=jnp.asarray(258, jnp.int32))
-    results["match_knn2_200"] = timeit(
-        jax.jit(lambda a, b: bruteforce.match(a, b, knn=2)), q, tr)
+    results["match_knn2_200"] = (
+        bench(lambda q: bruteforce.match(
+            Descriptors(bits=q, count=jnp.asarray(258, jnp.int32)), tr,
+            knn=2), qb),
+        (258 + 200) * 32, 2 * 258 * 200 * 256)
 
-    results["canny"] = timeit(
-        jax.jit(lambda x: canny_mod.canny(x, CannyConfig())), gray)
+    results["canny"] = (
+        bench(lambda x: canny_mod.canny(x, CannyConfig()), gray),
+        6 * HW, 0)
     edges = canny_mod.canny(gray, CannyConfig())
-    results["hough_sht"] = timeit(
-        jax.jit(lambda e: hough_sht.hough_lines_sht(
-            e, HoughConfig(threshold=120, max_lines=64))), edges)
-    results["hough_kht"] = timeit(
-        jax.jit(lambda e: hough_kht.hough_lines_kht(
-            e, HoughConfig(threshold=120, max_lines=64))), edges)
+    results["hough_sht"] = (
+        bench(lambda e: hough_sht.hough_lines_sht(
+            e, HoughConfig(threshold=120, max_lines=64)), edges),
+        2 * HW, 0)
+    results["hough_kht"] = (
+        bench(lambda e: hough_kht.hough_lines_kht(
+            e, HoughConfig(threshold=120, max_lines=64)), edges),
+        2 * HW, 0)
 
     big = jnp.asarray(rng.integers(0, 2, (1285, 1285), np.uint8) * 255)
     strel = morphology.structuring_element("cross", 3, 3)
-    results["erode3"] = timeit(
-        jax.jit(lambda x: morphology.erode(x, strel)), big)
-    results["close3"] = timeit(
-        jax.jit(lambda x: morphology.close_(x, strel)), big)
+    results["erode3"] = (
+        bench(lambda x: morphology.erode(x, strel), big),
+        2 * 1285 * 1285, 0)
+    results["close3"] = (
+        bench(lambda x: morphology.close_(x, strel), big),
+        3 * 1285 * 1285, 0)
 
-    texts = [jnp.asarray((rng.random((1122, 1182)) < 0.08).astype(np.uint8))
-             for _ in range(10)]
-    results["ccl"] = timeit_varied(jax.jit(lambda x: ccl_mod.label(x)), texts)
-    mser_imgs = [jnp.asarray(np.clip(
-        220 - 120 * ((xx[:720, :1182] // 40 + yy[:720, :1182] // 40) % 2)
-        + rng.normal(0, 5, (720, 1182)), 0, 255).astype(np.uint8))
-        for _ in range(3)]
-    results["mser"] = timeit_varied(
-        jax.jit(lambda x: mser(x, MSERConfig(max_regions=64))), mser_imgs)
-    results["hog"] = timeit(
-        jax.jit(lambda x: hog_mod.hog(x, HogConfig())), gray)
+    text = jnp.asarray(text_image())
+    TW = 1122 * 1182
+    results["ccl"] = (
+        bench(lambda x: ccl_mod.label(x), text), 5 * TW, 0)
+    labels = ccl_mod.label(text)
+    results["ccl_extract"] = (
+        bench(lambda l: ccl_mod.extract_components(l, 256), labels),
+        8 * TW, 0)
+    gray_text = jnp.asarray(np.where(np.asarray(text_image()) > 0, 40, 215)
+                            .astype(np.uint8))
+    results["mser"] = (
+        bench(lambda x: mser(x, MSERConfig(max_regions=64)), gray_text),
+        5 * TW * 8, 0)   # ~8 warm level steps over the buffer
+    results["hog"] = (
+        bench(lambda x: hog_mod.hog(x, HogConfig()), gray), 6 * HW, 0)
 
     # ---- beyond-reference pipeline metrics (no reference counterpart) ----
     from compv_tpu.core.config import OrbConfig
     from compv_tpu.features.orb import orb_detect_describe
     orb_cfg = OrbConfig(levels=8, max_features=2000)
-    orb_ms = timeit(jax.jit(lambda x: orb_detect_describe(x, orb_cfg)), gray)
+    orb_ms = bench(lambda x: orb_detect_describe(x, orb_cfg), gray)
     d2k = Descriptors(bits=jnp.asarray(
         rng.integers(0, 2 ** 32, (2000, 8), np.uint64).astype(np.uint32)),
         count=jnp.asarray(2000, jnp.int32))
-    match2k_ms = timeit(
-        jax.jit(lambda a, b: bruteforce.match(a, b, knn=2)), d2k, d2k)
+    m2k_ms = bench(lambda q: bruteforce.match(
+        Descriptors(bits=q, count=jnp.asarray(2000, jnp.int32)), d2k,
+        knn=2), d2k.bits)
     print("# pipeline (no reference number):")
     print(f"{'orb_hd_8lvl_2000f':<18}{orb_ms:>10.4f} ms "
-          f"({1e3 / orb_ms:>7.0f} fps)")
-    print(f"{'match_knn2_2000':<18}{match2k_ms:>10.4f} ms")
+          f"({1e3 / max(orb_ms, 1e-9):>9.0f} fps)")
+    print(f"{'match_knn2_2000':<18}{m2k_ms:>10.4f} ms "
+          f"({2 * 2000 * 2000 * 256 / max(m2k_ms, 1e-9) / 1e9:>9.1f} TOPS "
+          f"= {2 * 2000 * 2000 * 256 / max(m2k_ms, 1e-9) / 1e9 / MXU_INT8_TOPS * 100:.0f}% MXU)")
 
     csv = "--csv" in sys.argv
-    print(f"{'op':<18}{'ours ms':>10}{'ref ms':>10}{'speedup':>9}")
+    hdr = (f"{'op':<18}{'ours ms':>10}{'ref ms':>10}{'speedup':>9}"
+           f"{'GB/s':>8}{'%BW':>6}")
+    print(hdr)
     total_logsp = 0.0
-    for k, ms in results.items():
+    for k, (ms, min_bytes, flops) in results.items():
         ref = REF_MS[k]
+        ms = max(ms, 1e-6)
         sp = ref / ms
         total_logsp += np.log(sp)
-        line = (f"{k},{ms:.4f},{ref:.4f},{sp:.2f}" if csv
-                else f"{k:<18}{ms:>10.4f}{ref:>10.4f}{sp:>8.1f}x")
+        gbps = min_bytes / (ms * 1e-3) / 1e9
+        pct = 100.0 * gbps / HBM_GBPS
+        if flops > min_bytes * 50:  # compute-bound op: report MXU fraction
+            tops = flops / (ms * 1e-3) / 1e12
+            pct = 100.0 * tops / MXU_INT8_TOPS
+        line = (f"{k},{ms:.4f},{ref:.4f},{sp:.2f},{gbps:.1f},{pct:.1f}"
+                if csv else
+                f"{k:<18}{ms:>10.4f}{ref:>10.4f}{sp:>8.1f}x"
+                f"{gbps:>8.1f}{pct:>5.1f}%")
         print(line)
     gmean = float(np.exp(total_logsp / len(results)))
     print(f"geometric-mean speedup vs reference: {gmean:.2f}x")

@@ -73,8 +73,13 @@ def describe(img: jax.Array, points: Points, patch_diameter: int = 31,
     # rotation per point: (N, 2, 2) applied to (bits, 2) pattern -> (N, bits, 2)
     rot = jnp.stack([jnp.stack([cos, -sin], -1),
                      jnp.stack([sin, cos], -1)], -2)  # (N, 2, 2)
-    ra = jnp.einsum("bk,nkj->nbj", pa, rot)
-    rb = jnp.einsum("bk,nkj->nbj", pb, rot)
+    # offsets' = R(theta) @ p — steer the pattern TO the keypoint
+    # orientation (round 1 contracted p^T R = R(-theta) p, i.e. counter-
+    # rotation: instead of canceling in-plane rotation it DOUBLED it, and
+    # matching collapsed beyond ~10 deg; caught by the round-2 descriptor
+    # quality harness, tests/test_descriptor_quality.py)
+    ra = jnp.einsum("bk,njk->nbj", pa, rot)
+    rb = jnp.einsum("bk,njk->nbj", pb, rot)
     h, w = img.shape
 
     def sample(offsets):

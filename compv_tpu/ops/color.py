@@ -56,8 +56,9 @@ def rgb_to_yuv444(rgb: jax.Array):
 def rgb_to_yuv420(rgb: jax.Array):
     """RGB -> planar YUV420: chroma is 2x2 box-subsampled from 444."""
     y, u, v = rgb_to_yuv444(rgb)
-    sub = lambda p: p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2) \
-        .astype(jnp.uint16).mean(axis=(1, 3)).astype(jnp.uint8)
+    sub = lambda p: p.reshape(p.shape[:-2] + (p.shape[-2] // 2, 2,
+                                              p.shape[-1] // 2, 2)) \
+        .astype(jnp.uint16).mean(axis=(-3, -1)).astype(jnp.uint8)
     return y, sub(u), sub(v)
 
 
@@ -84,15 +85,80 @@ def yuv444_to_rgb(y, u, v):
 def yuv420_to_rgb(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     """Planar YUV420 -> RGB24; chroma upsampled by nearest (as the reference's
     SIMD kernels duplicate each chroma sample over a 2x2 luma block)."""
-    up = jnp.repeat(jnp.repeat(u, 2, axis=0), 2, axis=1)
-    vp = jnp.repeat(jnp.repeat(v, 2, axis=0), 2, axis=1)
-    up = up[: y.shape[0], : y.shape[1]]
-    vp = vp[: y.shape[0], : y.shape[1]]
+    up = jnp.repeat(jnp.repeat(u, 2, axis=-2), 2, axis=-1)
+    vp = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1)
+    up = up[..., : y.shape[-2], : y.shape[-1]]
+    vp = vp[..., : y.shape[-2], : y.shape[-1]]
     return _yuv_to_rgb_int(y, up, vp)
 
 
 def nv12_to_rgb(y: jax.Array, uv: jax.Array) -> jax.Array:
     return yuv420_to_rgb(y, uv[..., 0], uv[..., 1])
+
+
+# ----------------------------- packed 4:2:2 family -------------------------
+# Reference: base/image/compv_image_conv_to_rgbx.cxx + asm cover the packed
+# YUV422 layouts (YUYV422, UYVY422); round 1 shipped only planar formats.
+# Layout (YUYV): bytes [Y0 U Y1 V] per 2-pixel group -> input (..., H, 2W).
+# Chroma covers a 1x2 luma pair and is duplicated (same siting as the
+# reference SIMD kernels).
+
+def _packed422_planes(buf: jax.Array, y_off: int, u_off: int, v_off: int):
+    y = jnp.stack([buf[..., y_off::4], buf[..., y_off + 2::4]],
+                  axis=-1).reshape(buf.shape[:-1] + (buf.shape[-1] // 2,))
+    u = buf[..., u_off::4]
+    v = buf[..., v_off::4]
+    up = jnp.repeat(u, 2, axis=-1)
+    vp = jnp.repeat(v, 2, axis=-1)
+    return y, up, vp
+
+
+def yuyv422_to_rgb(buf: jax.Array) -> jax.Array:
+    """Packed YUYV422 (..., H, 2W) u8 -> RGB24 (..., H, W, 3)."""
+    y, u, v = _packed422_planes(buf, 0, 1, 3)
+    return _yuv_to_rgb_int(y, u, v)
+
+
+def uyvy422_to_rgb(buf: jax.Array) -> jax.Array:
+    """Packed UYVY422 (..., H, 2W) u8 -> RGB24 (..., H, W, 3)."""
+    y, u, v = _packed422_planes(buf, 1, 0, 2)
+    return _yuv_to_rgb_int(y, u, v)
+
+
+def yuyv422_to_gray(buf: jax.Array) -> jax.Array:
+    """Packed YUYV422 -> GRAY8 is just the de-interleaved luma
+    (reference compv_image_conv_to_grayscale.cxx packed cases)."""
+    y, _, _ = _packed422_planes(buf, 0, 1, 3)
+    return y
+
+
+def uyvy422_to_gray(buf: jax.Array) -> jax.Array:
+    y, _, _ = _packed422_planes(buf, 1, 0, 2)
+    return y
+
+
+def rgb_to_yuyv422(rgb: jax.Array) -> jax.Array:
+    """RGB24 (..., H, W, 3) -> packed YUYV422 (..., H, 2W) u8; chroma is
+    the mean of each horizontal pair (the reference's subsample rule)."""
+    y, u, v = rgb_to_yuv444(rgb)
+    u2 = ((u[..., 0::2].astype(jnp.uint16)
+           + u[..., 1::2].astype(jnp.uint16)) // 2).astype(jnp.uint8)
+    v2 = ((v[..., 0::2].astype(jnp.uint16)
+           + v[..., 1::2].astype(jnp.uint16)) // 2).astype(jnp.uint8)
+    out = jnp.stack([y[..., 0::2], u2, y[..., 1::2], v2], axis=-1)
+    return out.reshape(rgb.shape[:-3] + (rgb.shape[-3],
+                                         2 * rgb.shape[-2]))
+
+
+def rgb_to_uyvy422(rgb: jax.Array) -> jax.Array:
+    y, u, v = rgb_to_yuv444(rgb)
+    u2 = ((u[..., 0::2].astype(jnp.uint16)
+           + u[..., 1::2].astype(jnp.uint16)) // 2).astype(jnp.uint8)
+    v2 = ((v[..., 0::2].astype(jnp.uint16)
+           + v[..., 1::2].astype(jnp.uint16)) // 2).astype(jnp.uint8)
+    out = jnp.stack([u2, y[..., 0::2], v2, y[..., 1::2]], axis=-1)
+    return out.reshape(rgb.shape[:-3] + (rgb.shape[-3],
+                                         2 * rgb.shape[-2]))
 
 
 def rgb_to_hsv(rgb: jax.Array) -> jax.Array:

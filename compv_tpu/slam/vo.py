@@ -39,6 +39,34 @@ class VOConfig:
     window: int = 5                     # BA window (keyframes)
     match_ratio: float = 0.8
     min_track_inliers: int = 12
+    # triangulation parallax gate: a candidate is inserted only when the
+    # rays from the two camera centers subtend > this angle at the point
+    # (pure rotation gives huge pixel flow but ZERO baseline; ungated
+    # insertion poisons the map with depth garbage during turns)
+    min_tri_angle: float = 0.02         # rad (~1.1 deg)
+    # keyframe promotion: promote when enough NEW landmarks triangulated
+    # (baseline reached), or re-anchor when keyframe matches collapse
+    min_new_landmarks: int = 8
+    reanchor_matches: int = 30
+    # motion-prior gate: reject map matches whose landmark, projected with
+    # the PREVIOUS pose, lands further than this from the keypoint (a
+    # projection search window — the standard guided-matching purity fix;
+    # falls back to ungated matches if the gate starves the set)
+    match_gate_px: float = 40.0
+    # inside the projection window, also accept matches by ABSOLUTE
+    # descriptor distance (the global Lowe ratio kills re-observations of
+    # landmarks with similar siblings, capping track length ~3 frames;
+    # longer tracks are what make drift observable to bundle adjustment)
+    match_abs_dist: int = 72
+    # duplicate suppression: skip inserting a candidate whose keypoint
+    # falls within this radius of ANY projected existing landmark — the
+    # matcher should carry that feature instead; duplicate ids fragment
+    # feature tracks (median length 2) and starve BA of drift stiffness
+    dup_radius_px: float = 6.0
+    # landmark-centric re-observation window (BA obs recall; see
+    # _track_step): each projected landmark claims the closest-descriptor
+    # keypoint within this radius of its projection
+    reobs_radius_px: float = 6.0
     ransac: RansacConfig = RansacConfig(max_iters=1024, batch=128,
                                         threshold=9.0)
     essential: RansacConfig = RansacConfig(max_iters=2048, batch=256,
@@ -61,9 +89,23 @@ def _dedup_matches(good, ti, dist, n_landmarks: int):
     return good & (q == first[ti])
 
 
+def _parallax_angle(tri: jax.Array, pose1, pose2) -> jax.Array:
+    """(N,) angle subtended at each triangulated point by the two camera
+    centers — the baseline/parallax gate. Rotation-invariant (pixel flow
+    is NOT: pure rotation gives large flow with zero baseline)."""
+    c1 = se3_inverse(pose1)[3:]
+    c2 = se3_inverse(pose2)[3:]
+    a1 = tri - c1
+    a2 = tri - c2
+    cosang = (jnp.sum(a1 * a2, axis=1)
+              / (jnp.linalg.norm(a1, axis=1)
+                 * jnp.linalg.norm(a2, axis=1) + 1e-12))
+    return jnp.arccos(jnp.clip(cosang, -1.0, 1.0))
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def _track_step(img, map_points, map_desc, map_count,
-                kf_pose, kf_uv, kf_desc, kf_count, key, intr,
+                kf_pose, kf_uv, kf_desc, kf_count, prev_pose, key, intr,
                 config: "VOConfig"):
     """The WHOLE per-frame compute as one compiled program: ORB frontend ->
     map matching -> RANSAC PnP -> keyframe matching + triangulation for map
@@ -77,19 +119,95 @@ def _track_step(img, map_points, map_desc, map_count,
     good = bruteforce.lowe_ratio_mask(m, config.match_ratio)
     ti = m.train_idx[:, 0]
     good = _dedup_matches(good, ti, m.distance[:, 0], map_points.shape[0])
+    # guided-matching purity gate against the previous pose (see VOConfig)
+    from .camera import project
+    pred = jax.vmap(lambda pt: project(prev_pose, intr, pt))(map_points[ti])
+    near = jnp.linalg.norm(pred - p.xy, axis=1) < config.match_gate_px
+    gated = good & near
+    good = jnp.where(jnp.sum(gated) >= config.min_track_inliers,
+                     gated, good)
     res = pnp.solve_pnp(key, map_points[ti], p.xy, intr,
                         valid_mask=good, config=config.ransac)
+    # BA observation set — LANDMARK-CENTRIC re-observation: every live
+    # in-view landmark searches the keypoints inside a small window around
+    # its projection (solved pose) and claims the closest descriptor under
+    # an absolute threshold. The keypoint-centric ratio test caps track
+    # length at ~2-4 frames (siblings/duplicates steal the KNN-1 slot);
+    # long tracks are what make drift observable to bundle adjustment.
+    # PnP keeps the pure ratio-test set (purity over recall).
+    q_valid = jnp.arange(p.xy.shape[0]) < p.count
     # extension candidates: match vs the last keyframe, triangulate.
     # kf_count masks the zero-padded keyframe rows (a padded zero
     # descriptor must never win a match and triangulate uv=(0,0) garbage)
     kf = Descriptors(bits=kf_desc, count=kf_count)
     mk = bruteforce.match(d, kf, knn=2)
-    ok = bruteforce.lowe_ratio_mask(mk, config.match_ratio) & ~good
+    kf_good = bruteforce.lowe_ratio_mask(mk, config.match_ratio)
+    # duplicate suppression (see VOConfig.dup_radius_px): project every
+    # live landmark with the solved pose; candidates near one are already
+    # mapped — reinserting them fragments tracks
+    lm_proj = jax.vmap(lambda pt: project(res.pose, intr, pt))(map_points)
+    lm_live = (jnp.arange(map_points.shape[0]) < map_count)
+    lm_front = jax.vmap(lambda pt: point_depth(res.pose, pt))(map_points) > 0
+    d2 = jnp.sum((p.xy[:, None, :] - lm_proj[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where((lm_live & lm_front)[None, :], d2, jnp.inf)
+    d2 = jnp.where(q_valid[:, None], d2, jnp.inf)
+    dup = jnp.min(d2, axis=1) < config.dup_radius_px ** 2
+    ok = kf_good & ~good & ~dup
     ti2 = mk.train_idx[:, 0]
+    # landmark-centric re-observation for the BA obs set (see _reobserve)
+    obs_mask, obs_ti = _reobserve(res.pose, map_points, map_desc,
+                                  map_count, p.xy, d.bits, p.count, intr,
+                                  config)
     tri = triangulate_batch(kf_pose, res.pose, intr, kf_uv[ti2], p.xy)
     depth = jax.vmap(lambda pt: point_depth(res.pose, pt))(tri)
-    return (p.xy, d.bits, p.count, good, ti, res.pose, res.inlier_mask,
-            res.num_inliers, ok, tri, depth)
+    ang = _parallax_angle(tri, kf_pose, res.pose)
+    return (p.xy, d.bits, p.count, good, ti, res.pose, obs_mask,
+            res.num_inliers, ok, tri, depth, ang, jnp.sum(kf_good),
+            res.inlier_mask & good, ti2, kf_good, obs_ti)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _reobserve(pose, map_points, map_desc, map_count, xy, bits, n_kp,
+               intr, config: "VOConfig"):
+    """Landmark-centric re-observation against a KNOWN pose (used to log
+    BA observations for essential-fallback frames — without them those
+    poses have no constraints and bundle adjustment can never correct
+    their velocity-prior scale guess)."""
+    from .camera import project
+    lm_proj = jax.vmap(lambda pt: project(pose, intr, pt))(map_points)
+    lm_live = (jnp.arange(map_points.shape[0]) < map_count)
+    lm_front = jax.vmap(lambda pt: point_depth(pose, pt))(map_points) > 0
+    q_valid = jnp.arange(xy.shape[0]) < n_kp
+    d2 = jnp.sum((xy[:, None, :] - lm_proj[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where((lm_live & lm_front)[None, :], d2, jnp.inf)
+    d2 = jnp.where(q_valid[:, None], d2, jnp.inf)
+    hm = bruteforce.hamming_matrix(
+        Descriptors(bits=map_desc, count=map_count),
+        Descriptors(bits=bits, count=n_kp))
+    big = jnp.int32(1 << 20)
+    hm = jnp.where(d2.T < config.reobs_radius_px ** 2, hm, big)
+    best_kp = jnp.argmin(hm, axis=1)
+    best_ham = jnp.min(hm, axis=1)
+    lm_ok = best_ham <= config.match_abs_dist
+    L = map_points.shape[0]
+    N = xy.shape[0]
+    lid = jnp.arange(L, dtype=jnp.int32)
+    comp = best_ham * L + lid
+    kp_key = jnp.where(lm_ok, best_kp, N)
+    best_comp = jax.ops.segment_min(comp, kp_key, num_segments=N + 1)[:N]
+    obs_lm = jnp.where(best_comp <= 257 * L + L, best_comp % L, L)
+    obs_mask = (obs_lm < L) & q_valid
+    return obs_mask, jnp.where(obs_mask, obs_lm, 0).astype(jnp.int32)
+
+
+@jax.jit
+def _refresh_descriptors(desc, ti, bits, mask):
+    """Overwrite re-observed landmarks' descriptors with the CURRENT
+    frame's (ORB-SLAM's representative-descriptor idea, simplified):
+    without refresh, viewpoint drift decays matchability in ~3-4 frames,
+    and short tracks leave trajectory drift unobservable to BA."""
+    safe = jnp.where(mask, ti, desc.shape[0])
+    return desc.at[safe].set(bits, mode="drop")
 
 
 @jax.jit
@@ -140,6 +258,14 @@ def track_window(frames: jax.Array, vomap: "VOMap", kf_pose, kf_uv, kf_desc,
         ti = mm.train_idx[:, 0]
         good = _dedup_matches(good, ti, mm.distance[:, 0],
                               m.points.shape[0])
+        # guided-matching purity gate against the previous pose
+        from .camera import project
+        pred = jax.vmap(lambda pt: project(last_pose, intr, pt))(
+            m.points[ti])
+        near = jnp.linalg.norm(pred - p.xy, axis=1) < config.match_gate_px
+        gated = good & near
+        good = jnp.where(jnp.sum(gated) >= config.min_track_inliers,
+                         gated, good)
         res = pnp.solve_pnp(sub, m.points[ti], p.xy, intr,
                             valid_mask=good, config=config.ransac)
         ok = ((jnp.sum(good) >= min_inl)
@@ -149,14 +275,22 @@ def track_window(frames: jax.Array, vomap: "VOMap", kf_pose, kf_uv, kf_desc,
         # kf_n masks padded keyframe rows so they can't win matches
         cap = kf_d.shape[0]
         mk = bruteforce.match(d, Descriptors(bits=kf_d, count=kf_n), knn=2)
-        cand = bruteforce.lowe_ratio_mask(mk, config.match_ratio) & ~good
+        kf_good = bruteforce.lowe_ratio_mask(mk, config.match_ratio)
+        cand = kf_good & ~good
         tri = triangulate_batch(kf_p, pose, intr, kf_u[mk.train_idx[:, 0]],
                                 p.xy)
         depth = jax.vmap(lambda pt: point_depth(pose, pt))(tri)
+        ang = _parallax_angle(tri, kf_p, pose)
         old_count = m.count
         space_left = m.points.shape[0] - old_count
-        new = (cand & jnp.all(jnp.isfinite(tri), axis=1)
-               & (depth > 0.05) & (depth < 1e3) & ok)
+        passed = (cand & jnp.all(jnp.isfinite(tri), axis=1)
+                  & (depth > 0.05) & (depth < 1e3)
+                  & (ang > config.min_tri_angle) & ok)
+        # keyframe promotion rule (same as track()): enough new landmarks
+        # (baseline reached) or keyframe matches collapsed
+        promote = ok & ((jnp.sum(passed) >= config.min_new_landmarks)
+                        | (jnp.sum(kf_good) < config.reanchor_matches))
+        new = passed & promote
         m = _insert_landmarks(m, tri, d.bits, new)
 
         # device-side observation log (feeds windowed BA): record inlier
@@ -185,10 +319,10 @@ def track_window(frames: jax.Array, vomap: "VOMap", kf_pose, kf_uv, kf_desc,
                 return arr[:cap]
             return jnp.pad(arr, ((0, cap - n),) + ((0, 0),) * (arr.ndim - 1))
 
-        kf_p = jnp.where(ok, pose, kf_p)
-        kf_u = jnp.where(ok, fit(p.xy), kf_u)
-        kf_d = jnp.where(ok, fit(d.bits), kf_d)
-        kf_n = jnp.where(ok, jnp.minimum(p.count, cap), kf_n)
+        kf_p = jnp.where(promote, pose, kf_p)
+        kf_u = jnp.where(promote, fit(p.xy), kf_u)
+        kf_d = jnp.where(promote, fit(d.bits), kf_d)
+        kf_n = jnp.where(promote, jnp.minimum(p.count, cap), kf_n)
         return ((m, kf_p, kf_u, kf_d, kf_n, k, pose, obs, cursor),
                 (pose, ok, res.num_inliers))
 
@@ -221,7 +355,8 @@ def _extend_compute(desc_p, kf_desc, kf_count, kf_pose, pose, kf_uv, uv_p,
     ti = m.train_idx[:, 0]
     tri = triangulate_batch(kf_pose, pose, intr, kf_uv[ti], uv_p)
     depth = jax.vmap(lambda p: point_depth(pose, p))(tri)
-    return ok, ti, tri, depth
+    ang = _parallax_angle(tri, kf_pose, pose)
+    return ok, ti, tri, depth, ang
 
 
 def _fit_rows(arr: jax.Array, cap: int, fill=0) -> jax.Array:
@@ -324,6 +459,7 @@ class VisualOdometry:
         self._hist_n = 0
         self.max_keyframes = 256
         self.keyframe_every = 5
+        self.pnp_retries = 3
 
     # ------------------------------------------------------------- helpers
     def _split(self):
@@ -417,6 +553,12 @@ class VisualOdometry:
             self._obs.append((0, int(lid), uv1[g]))
             self._obs.append((1, int(lid), uv2[g]))
         self._last_kf = (wt2.astype(np.float32), uv2, desc2, n2, 1)
+        # the init keyframe seeds the loop-closure history (otherwise a
+        # loop back to the START region has nothing to match against)
+        lm = np.full(uv2.shape[0], -1, np.int32)
+        lm[gi] = lids
+        self._remember_keyframe(1, jnp.asarray(desc2), uv2, lm, n2,
+                                wt2.astype(np.float32))
         self._initialized = True
         return True
 
@@ -488,9 +630,12 @@ class VisualOdometry:
         valid[:o] = True
         poses = np.stack([self.trajectory[f] for f in frames])
         points = np.array(self.map.points)[lids]
-        # gauge: freeze the first window pose (and frame 0 if included)
+        # gauge: freeze the first TWO window poses — monocular BA has a
+        # 7-dof gauge (6 pose + scale); freezing one pose leaves the
+        # window scale free to slide each refine, compounding scale drift
+        # and shearing landmarks against out-of-window observations
         fixed = np.zeros(len(frames), bool)
-        fixed[0] = True
+        fixed[: min(2, len(frames))] = True
         prob = ba.BAProblem(
             poses=jnp.asarray(poses), points=jnp.asarray(points),
             obs_pose=jnp.asarray(obs_pose), obs_point=jnp.asarray(obs_point),
@@ -518,26 +663,27 @@ class VisualOdometry:
         for keypoints that did not match the map, then promote this frame to
         keyframe. All device steps are fixed-capacity (cap x cap match)."""
         kf = self._last_kf
-        self._last_kf = (pose, uv_p, desc_p, n_kp, frame_idx)
         if kf is None:
+            self._last_kf = (pose, uv_p, desc_p, n_kp, frame_idx)
             return
         kf_pose, kf_uv, kf_desc, kf_n, kf_idx = kf
         space = self.config.max_landmarks - int(self.map.count)
-        if space <= 0:
-            return
         # one fused device program + ONE transfer (tunnel round trips are
         # ~50ms each; eager per-op dispatch here used to cost seconds/frame)
-        ok, ti, tri, depth_new = jax.device_get(_extend_compute(
+        ok, ti, tri, depth_new, ang = jax.device_get(_extend_compute(
             jnp.asarray(desc_p), jnp.asarray(kf_desc), kf_n,
             jnp.asarray(kf_pose), jnp.asarray(pose),
             jnp.asarray(kf_uv), jnp.asarray(uv_p), self.intr,
             ratio=self.config.match_ratio))
-        ok = ok & ~matched  # only keypoints the map does not explain
-        if not ok.any():
-            return
-        good = ok & np.isfinite(tri).all(1) & (depth_new > 0.05) \
-            & (depth_new < 1e3)
-        if good.any():
+        n_kf_matches = int(ok.sum())
+        cand = ok & ~matched  # only keypoints the map does not explain
+        good = cand & np.isfinite(tri).all(1) & (depth_new > 0.05) \
+            & (depth_new < 1e3) & (ang > self.config.min_tri_angle)
+        promote = (int(good.sum()) >= self.config.min_new_landmarks
+                   or n_kf_matches < self.config.reanchor_matches)
+        if promote:
+            self._last_kf = (pose, uv_p, desc_p, n_kp, frame_idx)
+        if promote and space > 0 and good.any():
             lids = self._add_landmarks(tri[good], desc_p[good])
             gi = np.flatnonzero(good)[:len(lids)]
             for lid, g in zip(lids, gi):
@@ -566,44 +712,141 @@ class VisualOdometry:
         assert self._initialized
         kf_pose, kf_uv, kf_desc, kf_n, kf_idx = self._last_kf
         (xy_d, bits_d, n_kp, good_d, ti_d, pose_d, inlier_d, num_inl_d,
-         ok_d, tri_d, depth_d) = _track_step(
+         ok_d, tri_d, depth_d, ang_d, nkf_d, pure_d, ti2_d,
+         kf_good_d, obs_ti_d) = _track_step(
             jnp.asarray(img), self.map.points, self.map.desc, self.map.count,
             jnp.asarray(kf_pose), jnp.asarray(kf_uv), jnp.asarray(kf_desc),
-            jnp.asarray(kf_n, jnp.int32), self._split(), self.intr,
-            self.config)
+            jnp.asarray(kf_n, jnp.int32),
+            jnp.asarray(self.trajectory[-1], jnp.float32),
+            self._split(), self.intr, self.config)
         # one transfer: decisions + obs data (device copies stay for kf/map)
-        xy, good, ti, pose, inlier_mask, num_inl, ok, tri, depth = \
-            jax.device_get((xy_d, good_d, ti_d, pose_d, inlier_d, num_inl_d,
-                            ok_d, tri_d, depth_d))
-        if (good.sum() < self.config.min_track_inliers
-                or int(num_inl) < self.config.min_track_inliers):
-            return False
+        (xy, good, ti, pose, inlier_mask, num_inl, ok, tri, depth, ang,
+         n_kf_matches, obs_ids) = jax.device_get(
+            (xy_d, good_d, ti_d, pose_d, inlier_d, num_inl_d,
+             ok_d, tri_d, depth_d, ang_d, nkf_d, obs_ti_d))
+        if good.sum() < self.config.min_track_inliers:
+            return self._essential_fallback(
+                xy_d, bits_d, n_kp, ti2_d, kf_good_d, kf_pose, kf_uv, kf_n)
+        if int(num_inl) < self.config.min_track_inliers:
+            # PnP is a RANSAC lottery when inlier purity is low (the same
+            # frame can yield 2 or 38 inliers on different seeds); retry
+            # with fresh seeds on the SAME matches before declaring loss
+            for _ in range(self.pnp_retries):
+                res = pnp.solve_pnp(
+                    self._split(), self.map.points[ti_d], xy_d, self.intr,
+                    valid_mask=good_d, config=self.config.ransac)
+                num_inl, pose, inlier_mask = jax.device_get(
+                    (res.num_inliers, res.pose, res.inlier_mask))
+                inlier_mask = inlier_mask & good
+                obs_ids = ti          # retry path: ratio-test landmark ids
+                if int(num_inl) >= self.config.min_track_inliers:
+                    pose_d = res.pose
+                    break
+            else:
+                return self._essential_fallback(
+                    xy_d, bits_d, n_kp, ti2_d, kf_good_d,
+                    kf_pose, kf_uv, kf_n)
+            # the precomputed extension/triangulation products used the
+            # rejected pose; skip extension this frame (the next frame's
+            # fused step refreshes them against the accepted pose)
+            ok = np.zeros_like(ok)
         self.trajectory.append(np.asarray(pose, np.float32))
         fidx = len(self.trajectory) - 1
-        for i in np.flatnonzero(inlier_mask & good):
-            self._obs.append((fidx, int(ti[i]), xy[i]))
-        # map extension from the precomputed candidates (device-side insert)
-        self._last_kf = (pose_d, xy_d, bits_d, n_kp, fidx)
+        # inlier_mask is the landmark-centric re-observation set on the
+        # main path (ids in obs_ids); RANSAC inliers on retry
+        for i in np.flatnonzero(inlier_mask):
+            self._obs.append((fidx, int(obs_ids[i]), xy[i]))
+        # refresh with the PUREST set only (RANSAC inliers of ratio-test
+        # matches): a wrong re-observation overwriting a descriptor
+        # hijacks the landmark's identity persistently
+        self.map = self.map._replace(desc=_refresh_descriptors(
+            self.map.desc, ti_d, bits_d, pure_d))
+        # map extension: candidates must clear the PARALLAX gate (rays from
+        # the two centers subtend > min_tri_angle — pure rotation has none)
         count = int(self.map.count)
         space = self.config.max_landmarks - count
-        new = ok & np.isfinite(tri).all(1) & (depth > 0.05) & (depth < 1e3)
+        new = (ok & np.isfinite(tri).all(1) & (depth > 0.05) & (depth < 1e3)
+               & (ang > self.config.min_tri_angle))
         n_new = 0
         gi = np.zeros((0,), np.int64)
-        if space > 0 and new.any():
+        # keyframe promotes only when enough NEW landmarks triangulated
+        # (baseline reached) or when keyframe matches collapse (re-anchor);
+        # promoting every frame gave near-zero baseline and starved the map
+        promote = (int(new.sum()) >= self.config.min_new_landmarks
+                   or int(n_kf_matches) < self.config.reanchor_matches)
+        if promote and space > 0 and new.any():
             self.map = _insert_landmarks(self.map, tri_d, bits_d,
                                          jnp.asarray(new))
             n_new = min(int(new.sum()), space)
             gi = np.flatnonzero(new)[:n_new]
             for lid, g in zip(range(count, count + n_new), gi):
                 self._obs.append((fidx, int(lid), xy[g]))
-        if fidx % self.keyframe_every == 0:
+        if promote:
+            self._last_kf = (pose_d, xy_d, bits_d, n_kp, fidx)
             # per-keypoint landmark ids: map matches + freshly triangulated
             lm = np.full(xy.shape[0], -1, np.int32)
-            sel = inlier_mask & good
-            lm[sel] = ti[sel]
+            sel = inlier_mask
+            lm[sel] = obs_ids[sel]
             if n_new:
                 lm[gi] = np.arange(count, count + n_new)
             self._remember_keyframe(fidx, bits_d, xy_d, lm, n_kp, pose_d)
+        return True
+
+    def _essential_fallback(self, xy_d, bits_d, n_kp, ti2_d, kf_good_d,
+                            kf_pose, kf_uv, kf_n) -> bool:
+        """PnP-loss recovery: 2D-2D essential-matrix pose vs the last
+        keyframe (needs NO landmarks, so it bridges map-starved stretches
+        like sustained rotation), with translation magnitude carried from
+        the recent velocity (monocular scale is unobservable from 2D-2D).
+        On success the frame becomes the new keyframe and new landmarks
+        are triangulated against the old one — rebuilding the map."""
+        kf_good, ti2, xy, n_kp_h = jax.device_get(
+            (kf_good_d, ti2_d, xy_d, n_kp))
+        kf_good = kf_good.copy()
+        kf_good[int(n_kp_h):] = False
+        if kf_good.sum() < 24 or len(self.trajectory) < 2:
+            return False
+        kf_uv_h = np.asarray(kf_uv)
+        res = essential.find_essential(
+            self._split(), jnp.asarray(kf_uv_h[np.asarray(ti2)]), xy_d,
+            self.intr, valid_mask=jnp.asarray(kf_good),
+            config=self.config.essential)
+        ninl, e = jax.device_get((res.num_inliers, res.e))
+        if int(ninl) < 16:
+            return False
+        x1 = essential._normalize_pixels(
+            jnp.asarray(kf_uv_h[np.asarray(ti2)]), self.intr)
+        x2 = essential._normalize_pixels(xy_d, self.intr)
+        r, t = essential.decompose_essential(
+            res.e, x1, x2, res.inlier_mask & jnp.asarray(kf_good))
+        from .camera import so3_log, se3_compose, se3_relative
+        # translation magnitude from recent velocity (constant speed prior)
+        v = np.asarray(se3_relative(jnp.asarray(self.trajectory[-2]),
+                                    jnp.asarray(self.trajectory[-1])))
+        speed = float(np.linalg.norm(v[3:]))
+        rel = jnp.concatenate([so3_log(r), speed * t])
+        pose = np.asarray(se3_compose(rel, jnp.asarray(kf_pose)),
+                          np.float32)
+        if not np.isfinite(pose).all():
+            return False
+        self.trajectory.append(pose)
+        fidx = len(self.trajectory) - 1
+        # log re-observations against the solved pose so bundle adjustment
+        # can correct this pose (its translation scale is only a velocity
+        # prior — without obs it would be frozen garbage in the graph)
+        obs_mask, obs_ti = jax.device_get(_reobserve(
+            jnp.asarray(pose), self.map.points, self.map.desc,
+            self.map.count, xy_d, bits_d, n_kp, self.intr, self.config))
+        for i in np.flatnonzero(obs_mask):
+            self._obs.append((fidx, int(obs_ti[i]), xy[i]))
+        # rebuild the map against the old keyframe from this new pose
+        bits_h = np.asarray(bits_d)
+        self._extend_map(np.asarray(xy, np.float32), bits_h, int(n_kp_h),
+                         pose, matched=np.zeros(xy.shape[0], bool),
+                         frame_idx=fidx)
+        # force keyframe promotion even if _extend_map declined
+        self._last_kf = (pose, np.asarray(xy, np.float32), bits_h,
+                         int(n_kp_h), fidx)
         return True
 
     def track_batch(self, frames, refine: bool = False) -> np.ndarray:

@@ -18,8 +18,9 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is dominated by XLA compiles of the
 # big RANSAC/LM/BA graphs; caching makes re-runs ~10x faster.
-_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
+_cache_dir = os.environ.get("COMPV_TEST_CACHE_DIR") or os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -40,6 +40,57 @@ class TestColor:
         merged = np.asarray(color.merge_channels(*planes))
         np.testing.assert_array_equal(merged, rgb_image)
 
+    def test_packed_422_layout_exact(self):
+        """YUYV/UYVY byte layout vs a hand-built oracle (reference packed
+        conversions, base/image/compv_image_conv_to_rgbx.cxx)."""
+        rng = np.random.default_rng(3)
+        rgb = rng.integers(0, 256, (8, 10, 3), np.uint8)
+        buf = np.asarray(color.rgb_to_yuyv422(jnp.asarray(rgb)))
+        assert buf.shape == (8, 20)
+        y, u, v = (np.asarray(a) for a in color.rgb_to_yuv444(
+            jnp.asarray(rgb)))
+        # bytes: [Y0 U01 Y1 V01] per 2-px group
+        np.testing.assert_array_equal(buf[:, 0::4], y[:, 0::2])
+        np.testing.assert_array_equal(buf[:, 2::4], y[:, 1::2])
+        u2 = ((u[:, 0::2].astype(int) + u[:, 1::2].astype(int)) // 2)
+        np.testing.assert_array_equal(buf[:, 1::4], u2.astype(np.uint8))
+        ub = np.asarray(color.rgb_to_uyvy422(jnp.asarray(rgb)))
+        np.testing.assert_array_equal(ub[:, 1::4], y[:, 0::2])
+        np.testing.assert_array_equal(ub[:, 0::4], u2.astype(np.uint8))
+
+    def test_packed_422_roundtrip_and_gray(self, rgb_image):
+        buf = color.rgb_to_yuyv422(jnp.asarray(rgb_image))
+        back = np.asarray(color.yuyv422_to_rgb(buf)).astype(np.int32)
+        err = np.abs(back - rgb_image.astype(np.int32))
+        assert np.median(err) <= 40      # studio swing + 1x2 chroma
+        g = np.asarray(color.yuyv422_to_gray(buf))
+        y = np.asarray(color.rgb_to_yuv444(jnp.asarray(rgb_image))[0])
+        np.testing.assert_array_equal(g, y)
+        buf2 = color.rgb_to_uyvy422(jnp.asarray(rgb_image))
+        back2 = np.asarray(color.uyvy422_to_rgb(buf2)).astype(np.int32)
+        assert np.median(np.abs(back2 - rgb_image.astype(np.int32))) <= 40
+        np.testing.assert_array_equal(
+            np.asarray(color.uyvy422_to_gray(buf2)), y)
+
+    def test_batched_color_routes(self, rgb_image):
+        """Every conversion runs batched over a leading (B,) dim with
+        results identical to per-image calls (VERDICT item 8)."""
+        batch = np.stack([rgb_image, rgb_image[::-1].copy()])
+        b = jnp.asarray(batch)
+        for fn in (color.rgb_to_gray, color.rgb_to_hsv,
+                   color.rgb_to_yuyv422, color.rgb_to_uyvy422):
+            got = np.asarray(fn(b))
+            for i in range(2):
+                np.testing.assert_array_equal(
+                    got[i], np.asarray(fn(jnp.asarray(batch[i]))))
+        # planar 420 both directions, batched
+        y, u, v = color.rgb_to_yuv420(b)
+        y0, u0, v0 = color.rgb_to_yuv420(jnp.asarray(batch[0]))
+        np.testing.assert_array_equal(np.asarray(u)[0], np.asarray(u0))
+        back = np.asarray(color.yuv420_to_rgb(y, u, v))
+        back0 = np.asarray(color.yuv420_to_rgb(y0, u0, v0))
+        np.testing.assert_array_equal(back[0], back0)
+
 
 class TestConvolve:
     def test_conv2d_matches_oracle(self, gray_image):

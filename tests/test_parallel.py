@@ -1,6 +1,7 @@
 """Multi-device tests on the 8-device virtual CPU mesh: sharded results must
 equal single-device results (the mesh-size-parametrized invariance strategy
 from SURVEY §4)."""
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -96,3 +97,53 @@ class TestMeshSizeInvariance:
         np.testing.assert_array_equal(np.asarray(m.train_idx),
                                       self._ref[0])
         np.testing.assert_array_equal(np.asarray(m.distance), self._ref[1])
+
+
+class TestTwoProcessDCN:
+    def test_two_process_match_and_ba_invariant(self, tmp_path):
+        """Launch TWO separate processes (4 virtual chips each) joined by
+        jax.distributed into one 8-device mesh with Gloo cross-process
+        collectives — the virtual stand-in for a 2-host DCN deployment
+        (round-1 VERDICT item 9; no second host exists in this image).
+        Both processes must produce IDENTICAL replicated results for the
+        sharded matcher and the observation-sharded BA, and those must
+        match the in-process single-mesh oracle."""
+        import subprocess
+        import sys as _sys
+        import jax
+        from compv_tpu.core.types import Descriptors
+
+        worker = os.path.join(os.path.dirname(__file__), "dcn_worker.py")
+        port = "12417"
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)   # worker sets its own device count
+        procs = [subprocess.Popen(
+            [_sys.executable, worker, str(i), port, str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for i in range(2)]
+        outs = [p.communicate(timeout=240)[0].decode() for p in procs]
+        for i, p in enumerate(procs):
+            assert p.returncode == 0, outs[i][-2000:]
+        r0 = np.load(tmp_path / "worker_0.npz")
+        r1 = np.load(tmp_path / "worker_1.npz")
+        # both processes hold identical replicated results
+        np.testing.assert_array_equal(r0["ti"], r1["ti"])
+        np.testing.assert_array_equal(r0["dist"], r1["dist"])
+        np.testing.assert_allclose(r0["ba_poses"], r1["ba_poses"],
+                                   rtol=1e-5, atol=1e-5)
+        # single-process oracle for the matcher (same seed/data)
+        rng = np.random.default_rng(0)
+        qb = jnp.asarray(rng.integers(0, 2 ** 32, (64, 8), np.uint64)
+                         .astype(np.uint32))
+        tb = jnp.asarray(rng.integers(0, 2 ** 32, (256, 8), np.uint64)
+                         .astype(np.uint32))
+        q = Descriptors(bits=qb, count=jnp.asarray(64, jnp.int32))
+        t = Descriptors(bits=tb, count=jnp.asarray(250, jnp.int32))
+        mesh = mesh_mod.make_mesh((1,), ("data",),
+                                  devices=jax.devices()[:1])
+        m = dist_match.match_sharded(q, t, mesh, knn=2)
+        np.testing.assert_array_equal(r0["ti"], np.asarray(m.train_idx))
+        np.testing.assert_array_equal(r0["dist"], np.asarray(m.distance))
+        # BA made progress and both processes agree on cost
+        assert r0["ba_c1"] < r0["ba_c0"]
+        np.testing.assert_allclose(r0["ba_c1"], r1["ba_c1"], rtol=1e-5)

@@ -140,12 +140,13 @@ class TestTrackWindow:
         comparable ATE to the per-frame host loop."""
         from compv_tpu.io import datasets
         from compv_tpu.core.config import RansacConfig, OrbConfig, BAConfig
-        frames, gt, (fx, fy, cx, cy) = datasets.synthetic_sequence(
-            n_frames=7, h=160, w=200, n_landmarks=250, fx=170.0)
+        frames, gt, _, (fx, fy, cx, cy) = \
+            datasets.render_trajectory_sequence(
+                n_frames=7, h=160, w=224, seed=0, turn=(0, 0, 0.0))
         intr = camera.Intrinsics.make(fx, fy, cx, cy)
         cfg = vo.VOConfig(
             max_landmarks=1024, max_obs_per_frame=256,
-            min_track_inliers=10,
+            min_track_inliers=10, min_tri_angle=0.008,
             ransac=RansacConfig(max_iters=256, batch=64, threshold=9.0),
             essential=RansacConfig(max_iters=512, batch=128, threshold=2e-5),
             ba=BAConfig(max_iters=4),
@@ -164,12 +165,13 @@ class TestTrackWindow:
         the trajectory and should keep/improve ATE."""
         from compv_tpu.io import datasets
         from compv_tpu.core.config import RansacConfig, OrbConfig, BAConfig
-        frames, gt, (fx, fy, cx, cy) = datasets.synthetic_sequence(
-            n_frames=7, h=160, w=200, n_landmarks=250, fx=170.0)
+        frames, gt, _, (fx, fy, cx, cy) = \
+            datasets.render_trajectory_sequence(
+                n_frames=7, h=160, w=224, seed=0, turn=(0, 0, 0.0))
         intr = camera.Intrinsics.make(fx, fy, cx, cy)
         cfg = vo.VOConfig(
             max_landmarks=1024, max_obs_per_frame=256,
-            min_track_inliers=10,
+            min_track_inliers=10, min_tri_angle=0.008,
             ransac=RansacConfig(max_iters=256, batch=64, threshold=9.0),
             essential=RansacConfig(max_iters=512, batch=128, threshold=2e-5),
             ba=BAConfig(max_iters=4),
