@@ -95,20 +95,25 @@ def main():
     u_p = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2), np.uint8))
     v_p = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2), np.uint8))
 
-    def bench(fn, base, K1=2, K2=10, trials=3, roll_axis=0):
+    def bench(fn, base, K1=2, K2=10, trials=4, roll_axis=0, vary="add"):
         """Marginal per-call ms inside one scan program; `base` is the
         device input rolled by the scan index for distinct inputs."""
 
         def make(K):
             @jax.jit
-            def run():
+            def run(base):
+                # `base` MUST be a runtime argument: a closed-over device
+                # array is a compile-time constant and XLA constant-folds
+                # the whole zero-argument program during compilation
+                # (elementwise ops then "run" in 0 ms)
                 def body(c, i):
                     # the input must change VALUE per iteration, not just
                     # permute: XLA knows sum(f(roll(x))) is loop-invariant
                     # for elementwise f and hoists the whole body (reads
                     # 0 ms); adding i defeats that
-                    v = jnp.roll(base, i * 7 + 1,
-                                 axis=roll_axis) + i.astype(base.dtype)
+                    v = jnp.roll(base, i * 7 + 1, axis=roll_axis)
+                    if vary == "add":
+                        v = v + i.astype(base.dtype)
                     out = fn(v)
                     # reduce over EVERY output element: a [0]-element probe
                     # lets XLA dead-code-eliminate the op body (elementwise
@@ -123,16 +128,16 @@ def main():
             return run
 
         r1, r2 = make(K1), make(K2)
-        jax.block_until_ready(r1())
-        jax.block_until_ready(r2())
+        float(r1(base))
+        float(r2(base))
 
         def tmin(r):
             best = 1e9
             for _ in range(trials):
                 t0 = time.perf_counter()
-                jax.block_until_ready(r())
-                best = min(best, time.perf_counter() - t0)
-            return best
+                float(r(base))    # value fetch — block_until_ready does
+                best = min(best, time.perf_counter() - t0)    # NOT block
+            return best          # on the axon tunnel (round-2 finding)
 
         return (tmin(r2) - tmin(r1)) / (K2 - K1) * 1e3
 
@@ -140,30 +145,30 @@ def main():
     results = {}   # name -> (ms, min_bytes, flops)
 
     results["rgb24_to_gray"] = (
-        bench(color.rgb_to_gray, rgb), 4 * HW, 0)
+        bench(color.rgb_to_gray, rgb, K2=80), 4 * HW, 0)
     results["yuv420_to_rgb"] = (
-        bench(lambda y: color.yuv420_to_rgb(y, u_p, v_p), y_p),
+        bench(lambda y: color.yuv420_to_rgb(y, u_p, v_p), y_p, K2=80),
         4.5 * HW, 0)
-    results["rgb_to_hsv"] = (bench(color.rgb_to_hsv, rgb), 6 * HW, 0)
-    results["histogram"] = (bench(histogram.histogram256, gray),
+    results["rgb_to_hsv"] = (bench(color.rgb_to_hsv, rgb, K2=80), 6 * HW, 0)
+    results["histogram"] = (bench(histogram.histogram256, gray, K2=40),
                             HW + 1024, 0)
-    results["equalize"] = (bench(histogram.equalize, gray), 2 * HW, 0)
+    results["equalize"] = (bench(histogram.equalize, gray, K2=40), 2 * HW, 0)
     results["fast9_nms"] = (
         bench(lambda x: fast_mod.fast_detect(
             x, FastConfig(threshold=20, max_features=2000)), gray),
         2 * HW, 0)
     results["scale_bilinear"] = (
-        bench(lambda x: resize.resize_bilinear(x, 597, 1064), gray),
+        bench(lambda x: resize.resize_bilinear(x, 597, 1064), gray, K2=80),
         HW + 597 * 1064, 0)
     results["gaussian_blur7"] = (
-        bench(lambda x: convolve.gaussian_blur(x, 7, 2.0), gray),
+        bench(lambda x: convolve.gaussian_blur(x, 7, 2.0), gray, K2=40),
         2 * HW, 14 * HW)
-    results["sobel"] = (bench(convolve.gradients, gray), 5 * HW, 18 * HW)
+    results["sobel"] = (bench(convolve.gradients, gray, K2=40), 5 * HW, 18 * HW)
     results["adaptive_thresh"] = (
-        bench(lambda x: threshold.threshold_adaptive(x, 5, 8.0), gray),
+        bench(lambda x: threshold.threshold_adaptive(x, 5, 8.0), gray, K2=40),
         2 * HW, 0)
     results["otsu"] = (
-        bench(lambda x: threshold.otsu_threshold(x)[1], gray), 2 * HW, 0)
+        bench(lambda x: threshold.otsu_threshold(x)[1], gray, K2=40), 2 * HW, 0)
 
     tb = jnp.asarray(rng.integers(0, 2 ** 32, (200, 8), np.uint64)
                      .astype(np.uint32))
@@ -173,7 +178,7 @@ def main():
     results["match_knn2_200"] = (
         bench(lambda q: bruteforce.match(
             Descriptors(bits=q, count=jnp.asarray(258, jnp.int32)), tr,
-            knn=2), qb),
+            knn=2), qb, K2=80),
         (258 + 200) * 32, 2 * 258 * 200 * 256)
 
     results["canny"] = (
@@ -192,10 +197,10 @@ def main():
     big = jnp.asarray(rng.integers(0, 2, (1285, 1285), np.uint8) * 255)
     strel = morphology.structuring_element("cross", 3, 3)
     results["erode3"] = (
-        bench(lambda x: morphology.erode(x, strel), big),
+        bench(lambda x: morphology.erode(x, strel), big, K2=40),
         2 * 1285 * 1285, 0)
     results["close3"] = (
-        bench(lambda x: morphology.close_(x, strel), big),
+        bench(lambda x: morphology.close_(x, strel), big, K2=40),
         3 * 1285 * 1285, 0)
 
     text = jnp.asarray(text_image())
@@ -204,15 +209,16 @@ def main():
         bench(lambda x: ccl_mod.label(x), text), 5 * TW, 0)
     labels = ccl_mod.label(text)
     results["ccl_extract"] = (
-        bench(lambda l: ccl_mod.extract_components(l, 256), labels),
+        bench(lambda l: ccl_mod.extract_components(l, 256), labels,
+              vary="roll", K2=20),
         8 * TW, 0)
     gray_text = jnp.asarray(np.where(np.asarray(text_image()) > 0, 40, 215)
                             .astype(np.uint8))
     results["mser"] = (
-        bench(lambda x: mser(x, MSERConfig(max_regions=64)), gray_text),
+        bench(lambda x: mser(x, MSERConfig(max_regions=64)), gray_text, K2=6),
         5 * TW * 8, 0)   # ~8 warm level steps over the buffer
     results["hog"] = (
-        bench(lambda x: hog_mod.hog(x, HogConfig()), gray), 6 * HW, 0)
+        bench(lambda x: hog_mod.hog(x, HogConfig()), gray, K2=30), 6 * HW, 0)
 
     # ---- beyond-reference pipeline metrics (no reference counterpart) ----
     from compv_tpu.core.config import OrbConfig

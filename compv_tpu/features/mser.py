@@ -66,11 +66,11 @@ def mser(img: jax.Array, config: MSERConfig = MSERConfig()) -> MSERRegions:
     t_count = int(levels.shape[0])
     d = config.delta
 
-    def per_level(prev_lbl, lv):
+    def _level_compute(mask, prev_lbl):
         # warm start from the previous (nested, smaller) level's labels:
         # roots are pixel indices that stay foreground as the mask grows,
         # so they are valid initial values — convergence in ~1 sweep/level
-        lbl = ccl.label((x <= lv).astype(jnp.uint8), config.connectivity,
+        lbl = ccl.label(mask.astype(jnp.uint8), config.connectivity,
                         init=prev_lbl)
         flat = lbl.reshape(-1)
         fg = flat < n
@@ -78,10 +78,23 @@ def mser(img: jax.Array, config: MSERConfig = MSERConfig()) -> MSERRegions:
         hist = jax.ops.segment_sum(fg.astype(jnp.int32), seg,
                                    num_segments=n + 1)
         area_pp = jnp.where(fg, hist[jnp.minimum(flat, n)], 0)
-        return lbl, (lbl, area_pp.reshape(h, w))
+        return lbl, area_pp.reshape(h, w)
 
-    init_lbl = jnp.full((h, w), n, jnp.int32)
-    _, (labels, areas) = jax.lax.scan(per_level, init_lbl, levels)
+    def per_level(carry, lv):
+        prev_mask, prev_lbl, prev_area = carry
+        mask = x <= lv
+        # skip unchanged levels entirely: on low-gray-count images (text
+        # scans, the reference MSER workload class) most threshold steps
+        # add NO pixels, and labeling + per-pixel areas are the whole cost
+        lbl, area = jax.lax.cond(
+            jnp.any(mask != prev_mask),
+            lambda: _level_compute(mask, prev_lbl),
+            lambda: (prev_lbl, prev_area))
+        return (mask, lbl, area), (lbl, area)
+
+    init = (jnp.zeros((h, w), bool), jnp.full((h, w), n, jnp.int32),
+            jnp.zeros((h, w), jnp.int32))
+    _, (labels, areas) = jax.lax.scan(per_level, init, levels)
 
     af = areas.astype(jnp.float32)
     lo = jnp.concatenate([jnp.repeat(af[:1], d, 0), af[:-d]])

@@ -24,24 +24,44 @@ def histogram256(img: jax.Array) -> jax.Array:
     return jnp.sum(oh, axis=0)
 
 
+def apply_monotone_lut(img: jax.Array, lut: jax.Array) -> jax.Array:
+    """Apply a NON-DECREASING 256-entry u8 LUT without a per-pixel gather.
+
+    XLA-TPU gathers run ~6 ns/element (a 1.3 MP LUT apply cost 7.7 ms);
+    for a monotone LUT, out(v) = #{k in 0..254 : lut[v] > k}
+                              = sum_k 1[v >= b_k]
+    with b_k = min{u : lut[u] > k} — 255 fused compare-accumulate VPU
+    passes (~0.3 ms at HD), exactly equal to lut[v]."""
+    from ..kernels.dispatch import on_tpu
+    if not on_tpu():
+        return lut[img.astype(jnp.int32)]
+    b = jnp.searchsorted(lut.astype(jnp.int32),
+                         jnp.arange(255, dtype=jnp.int32), side="right")
+    v = img.astype(jnp.int32)
+    out = jnp.sum(v[..., None] >= b, axis=-1)
+    return out.astype(jnp.uint8)
+
+
 def equalize(img: jax.Array) -> jax.Array:
     """Histogram equalization (reference compv_math_histogram equalization:
-    lut[i] = round(cdf(i) * 255 / npixels))."""
+    lut[i] = round(cdf(i) * 255 / npixels)); the LUT is a scaled CDF and
+    therefore monotone -> gather-free apply."""
     hist = histogram256(img)
     cdf = jnp.cumsum(hist)
     n = img.size
     lut = jnp.clip(jnp.round(cdf.astype(jnp.float32) * (255.0 / n)), 0, 255
                    ).astype(jnp.uint8)
-    return lut[img.astype(jnp.int32)]
+    return apply_monotone_lut(img, lut)
 
 
 def gamma_correct(img: jax.Array, gamma: float) -> jax.Array:
     """Gamma correction via a 256-entry LUT (reference CompVImage::gamma,
-    base/include/compv/base/image/compv_image.h:15-56): out = 255*(v/255)^g."""
+    base/include/compv/base/image/compv_image.h:15-56): out = 255*(v/255)^g
+    — monotone for any gamma > 0, so the gather-free apply holds."""
     lut = jnp.clip(jnp.round(
         255.0 * (jnp.arange(256, dtype=jnp.float32) / 255.0) ** gamma),
         0, 255).astype(jnp.uint8)
-    return lut[img.astype(jnp.int32)]
+    return apply_monotone_lut(img, lut)
 
 
 def projection_x(img: jax.Array) -> jax.Array:

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .histogram import histogram256
 from .convolve import conv_separable
@@ -46,8 +47,17 @@ def threshold_adaptive(img: jax.Array, block_size: int = 5, c: float = 8.0,
     """Adaptive mean-C threshold via separable box kernel (reference
     compv_image_threshold.cxx:184-201 builds a normalized box kernel and
     convolves, then compares pixel > mean - C)."""
+    from ..kernels.dispatch import pallas_enabled
     k = jnp.full((block_size,), 1.0 / block_size, jnp.float32)
-    mean = conv_separable(img, k, k, border=BorderMode.REPLICATE)
+    if pallas_enabled() and img.ndim == 2:
+        # the fused Pallas separable pipeline — XLA's small-kernel conv
+        # lowering is 30x+ off roofline on TPU (measured 11.7 ms at HD)
+        from ..kernels.conv_sep import conv_separable_fused
+        taps = ((tuple(float(x) for x in np.full(block_size,
+                                                 1.0 / block_size)),) * 2,)
+        mean = conv_separable_fused(img, taps=taps, pad_mode="edge")[0]
+    else:
+        mean = conv_separable(img, k, k, border=BorderMode.REPLICATE)
     cmp = img.astype(jnp.float32) > (mean - c)
     if invert:
         cmp = ~cmp

@@ -40,6 +40,20 @@ class TestColor:
         merged = np.asarray(color.merge_channels(*planes))
         np.testing.assert_array_equal(merged, rgb_image)
 
+    def test_monotone_lut_formula_exact(self):
+        """The gather-free monotone-LUT identity used on TPU
+        (histogram.apply_monotone_lut): sum of threshold comparisons ==
+        direct lut[v], for arbitrary non-decreasing LUTs."""
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+        for _ in range(5):
+            lut = np.sort(rng.integers(0, 256, 256)).astype(np.uint8)
+            b = np.searchsorted(lut.astype(np.int32), np.arange(255),
+                                side="right")
+            out = ((img.astype(np.int32)[..., None] >= b).sum(-1)
+                   .astype(np.uint8))
+            np.testing.assert_array_equal(out, lut[img])
+
     def test_packed_422_layout_exact(self):
         """YUYV/UYVY byte layout vs a hand-built oracle (reference packed
         conversions, base/image/compv_image_conv_to_rgbx.cxx)."""
