@@ -104,30 +104,104 @@ def fast_nms(strengths: jax.Array) -> jax.Array:
     return jnp.where(interior, jnp.where(keep, strengths, 0), strengths)
 
 
-def strengths_to_points(strengths: jax.Array, max_features: int,
-                        level: int = 0, size: float = 7.0) -> Points:
-    """Extract the top-k strongest pixels into a padded Points set.
+_SEG = 128      # lane-width column segments for the compaction one-hot
 
-    Replaces the reference's build-interest-points + selectBest
-    (fast_dete.cxx:418, CompVInterestPoint::selectBest) with one
-    lax.top_k over the flattened map — deterministic, no host sync.
-    """
+
+def _pack_key(s_i32: jax.Array, idx_i32: jax.Array) -> jax.Array:
+    """(255-strength, flat index) packed into one i32: ascending sort order
+    == (strength desc, index asc), lax.top_k's exact tie semantics."""
+    return ((255 - s_i32) << 22) | idx_i32
+
+
+_PAD_KEY = (255 << 22) | ((1 << 22) - 1)   # pack(strength=0, idx=max)
+
+
+def _cutoff_select(strengths: jax.Array, k: int,
+                   nms_spaced: bool = False):
+    """Sort-free exact top-k of a u8 strengths map.
+
+    The full-map sort dominated FAST (~1.2 ms/frame of 1.37 at HD; a
+    BATCHED big lax.sort additionally takes minutes to compile). But a
+    u8 map admits exact selection without sorting:
+      1. binary-search the strength cutoff c (8 masked reductions): the
+         smallest c with #{s >= c} <= k; ties at c-1 resolved by ascending
+         flat index via an exclusive row-major cumsum (lax.top_k parity);
+      2. (nms_spaced) NMS with suppress-on-tie leaves at most one survivor
+         per 2x2 block, so the selected-key map min-pools 2x2 losslessly —
+         strided-slice minimum is free, reshape-reduce relayouts (~2.5 ms);
+      3. compact the selected pixels per (row, 128-col segment) with a
+         fused one-hot compare-reduce (XLA loop-fuses it — no (R,cap,W)
+         materialization) — scatter-free, and with cap == segment width
+         the compaction can never overflow, so there is no fallback path;
+      4. place chunks via searchsorted over chunk offsets + a k-element
+         gather (small gathers are ~6 ns/element — fine at k);
+      5. restore the exact contract with one k-element packed sort (free).
+    Returns sorted packed keys (k,). Bit-identical to lax.top_k over the
+    flat map regardless of nms_spaced (the selection mask and tie ranks
+    are computed at full resolution before pooling)."""
     h, w = strengths.shape
-    k = min(max_features, h * w)  # small images: can't select more than H*W
-    if h * w < (1 << 22):
-        # packed single-key sort: lax.top_k lowers to a full (value, index)
-        # PAIR sort on TPU (~1.4 ms at HD); packing (255-strength, index)
-        # into one int32 key halves the sorted bytes while keeping top_k's
-        # exact semantics (descending strength, ties by ascending index)
-        flat_u = strengths.reshape(-1).astype(jnp.int32)
-        iota = jnp.arange(h * w, dtype=jnp.int32)
-        key = ((255 - flat_u) << 22) | iota
-        sel = jax.lax.sort(key)[:k]
-        idx = sel & ((1 << 22) - 1)
-        vals = (255 - (sel >> 22)).astype(jnp.float32)
-    else:
-        vals, idx = jax.lax.top_k(
-            strengths.reshape(-1).astype(jnp.float32), k)
+    span = 2 * _SEG if nms_spaced else _SEG
+    wp = -(-w // span) * span
+    hp = h + (h % 2) if nms_spaced else h
+    si = jnp.pad(strengths.astype(jnp.int32),
+                 ((0, hp - h), (0, wp - w)), constant_values=0)
+
+    def bs(carry, _):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        over_k = jnp.sum((si >= mid).astype(jnp.int32)) > k
+        return (jnp.where(over_k, mid + 1, lo),
+                jnp.where(over_k, hi, mid)), None
+
+    (c, _), _ = jax.lax.scan(bs, (jnp.int32(1), jnp.int32(256)),
+                             None, length=8)
+    hi_mask = si >= c
+    r = k - jnp.sum(hi_mask.astype(jnp.int32))
+    eq = (si == c - 1) & (c > 1)
+    eqi = eq.astype(jnp.int32)
+    rc = jnp.cumsum(eqi, axis=1)
+    row_tot = rc[:, -1]
+    eqrank = rc - eqi + (jnp.cumsum(row_tot) - row_tot)[:, None]
+    sel = hi_mask | (eq & (eqrank < r))
+
+    cols = jnp.arange(wp, dtype=jnp.int32)[None, :]
+    sel = sel & (cols < w)
+    flat_idx = jnp.arange(hp, dtype=jnp.int32)[:, None] * w + cols
+    key_c = jnp.where(sel, _pack_key(si, flat_idx), _PAD_KEY)
+    if nms_spaced:
+        a = jnp.minimum(key_c[0::2], key_c[1::2])
+        key_c = jnp.minimum(a[:, 0::2], a[:, 1::2])
+
+    hh, ww = key_c.shape
+    n_seg = ww // _SEG
+    seli = (key_c != _PAD_KEY).reshape(hh, n_seg, _SEG).astype(jnp.int32)
+    lr = jnp.cumsum(seli, axis=2) * seli          # 1-based local rank
+    counts = jnp.sum(seli, axis=2).reshape(-1)    # (hh*n_seg,) chunk counts
+    slots = jnp.arange(1, _SEG + 1, dtype=jnp.int32)
+    oh = lr[:, :, None, :] == slots[None, None, :, None]
+    ck = jnp.sum(jnp.where(oh, key_c.reshape(hh, n_seg, 1, _SEG), 0),
+                 axis=3).reshape(-1, _SEG)        # (chunks, cap) packed keys
+
+    chunk_off = jnp.cumsum(counts) - counts
+    total = jnp.sum(counts)
+    g = jnp.arange(k, dtype=jnp.int32)
+    chunk_g = jnp.sum((chunk_off[None, :] <= g[:, None]).astype(jnp.int32),
+                      axis=1) - 1
+    slot_g = jnp.clip(g - chunk_off[chunk_g], 0, _SEG - 1)
+    keys = ck[chunk_g, slot_g]
+    keys = jnp.where(g < total, keys, _PAD_KEY)
+    return jax.lax.sort(keys)
+
+
+def _keys_to_points(keys: jax.Array, max_features: int, k: int, w: int,
+                    level: int, size: float) -> Points:
+    idx = keys & ((1 << 22) - 1)
+    vals = (255 - (keys >> 22)).astype(jnp.float32)
+    return _vals_idx_to_points(vals, idx, max_features, k, w, level, size)
+
+
+def _vals_idx_to_points(vals: jax.Array, idx: jax.Array, max_features: int,
+                        k: int, w: int, level: int, size: float) -> Points:
     if k < max_features:
         vals = jnp.pad(vals, (0, max_features - k))
         idx = jnp.pad(idx, (0, max_features - k))
@@ -142,6 +216,40 @@ def strengths_to_points(strengths: jax.Array, max_features: int,
         size=jnp.full((max_features,), size, jnp.float32),
         count=jnp.sum(valid).astype(jnp.int32),
     )
+
+
+def strengths_to_points(strengths: jax.Array, max_features: int,
+                        level: int = 0, size: float = 7.0,
+                        nms_spaced: bool = False) -> Points:
+    """Extract the top-k strongest pixels into a padded Points set.
+
+    Replaces the reference's build-interest-points + selectBest
+    (fast_dete.cxx:418, CompVInterestPoint::selectBest) with a sort-free
+    cutoff selection (see _cutoff_select) — deterministic, no host sync,
+    bit-identical to lax.top_k over the flat map (descending strength,
+    ties by ascending index).
+    """
+    h, w = strengths.shape
+    k = min(max_features, h * w)  # small images: can't select more than H*W
+    if h * w >= (1 << 22):
+        # flat index no longer fits the 22-bit pack; top_k's pair sort
+        vals, idx = jax.lax.top_k(
+            strengths.reshape(-1).astype(jnp.float32), k)
+        vals = jnp.where(idx < h * w, vals, 0.0)
+        return _vals_idx_to_points(vals, idx, max_features, k, w, level,
+                                   size)
+    keys = _cutoff_select(strengths, k, nms_spaced)
+    return _keys_to_points(keys, max_features, k, w, level, size)
+
+
+def strengths_to_points_batch(strengths: jax.Array, max_features: int,
+                              level: int = 0, size: float = 7.0,
+                              nms_spaced: bool = False) -> Points:
+    """Batched (B, H, W) variant of strengths_to_points."""
+    return jax.vmap(
+        lambda m: strengths_to_points(m, max_features, level, size,
+                                      nms_spaced)
+    )(strengths)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -161,7 +269,8 @@ def fast_detect_batch(imgs: jax.Array,
             st = fast_strengths(im, config.threshold, n)
             return fast_nms(st) if config.nonmax_suppression else st
         s = jax.vmap(one)(imgs)
-    return jax.vmap(lambda m: strengths_to_points(m, config.max_features))(s)
+    return strengths_to_points_batch(
+        s, config.max_features, nms_spaced=config.nonmax_suppression)
 
 
 @register("corner_detector", "fast")
@@ -190,4 +299,5 @@ def fast_detect(img: jax.Array, config: FastConfig = FastConfig()) -> Points:
         s = fast_strengths(img, config.threshold, n)
         if config.nonmax_suppression:
             s = fast_nms(s)
-    return strengths_to_points(s, config.max_features)
+    return strengths_to_points(s, config.max_features,
+                               nms_spaced=config.nonmax_suppression)

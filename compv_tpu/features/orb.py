@@ -87,8 +87,10 @@ def orb_detect_describe(img: jax.Array, config: OrbConfig = OrbConfig()
         s = fast_strengths(level_img, config.fast.threshold, n)
         if config.fast.nonmax_suppression:
             s = fast_nms(s)
-        pts = strengths_to_points(s, budgets[lv], level=lv,
-                                  size=config.patch_diameter / (sf ** lv))
+        pts = strengths_to_points(
+            s, budgets[lv], level=lv,
+            size=config.patch_diameter / (sf ** lv),
+            nms_spaced=config.fast.nonmax_suppression)
         # border erase with the patch radius (moments need the full circle)
         pts = _erase_near_border(pts, h, w, radius)
         # orientation from circular patch moments on the *unblurred* level
