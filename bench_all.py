@@ -142,7 +142,16 @@ def main():
         return (tmin(r2) - tmin(r1)) / (K2 - K1) * 1e3
 
     HW = h * w
-    results = {}   # name -> (ms, min_bytes, flops)
+
+    class _Progress(dict):
+        """Print each op the moment it is measured (a full sweep spends
+        ~10+ min in compiles; silent-until-the-end is undebuggable)."""
+
+        def __setitem__(self, key, val):
+            print(f"[measured] {key:<18}{val[0]:>10.4f} ms", flush=True)
+            super().__setitem__(key, val)
+
+    results = _Progress()   # name -> (ms, min_bytes, flops)
 
     results["rgb24_to_gray"] = (
         bench(color.rgb_to_gray, rgb, K2=80), 4 * HW, 0)

@@ -9,3 +9,4 @@ io.image and viewable anywhere; matplotlib is optional sugar.
 """
 from .draw import (draw_points, draw_lines, draw_matches, draw_boxes,
                    draw_text, draw_trajectory, to_rgb)  # noqa: F401
+from .live import LiveViewer, MJPEGServer  # noqa: F401

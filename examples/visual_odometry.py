@@ -8,6 +8,7 @@ trajectory image, and snapshots resumable state.
 Usage:
   python examples/visual_odometry.py                       # synthetic
   python examples/visual_odometry.py <tum_seq_dir> [n]     # TUM rgb sequence
+  COMPV_TPU_LIVE=1 python examples/visual_odometry.py ...  # browser live view
 """
 import os
 import sys
@@ -50,6 +51,15 @@ def run_synthetic(n_frames=10, windowed=True):
     return err
 
 
+def _maybe_viewer():
+    """Browser live view (viz/live.py MJPEG window) when COMPV_TPU_LIVE=1 —
+    the reference sample's windowed rendering loop analogue
+    (samples/object_recognition/main.cxx drawImage/drawMatches)."""
+    if os.environ.get("COMPV_TPU_LIVE"):
+        return viz.LiveViewer(backend="mjpeg")
+    return None
+
+
 def run_tum(seq_dir, n_frames=50):
     ts, paths = datasets.load_tum_rgb_list(seq_dir)
     gt_ts, gt_pos = datasets.load_tum_trajectory(
@@ -58,10 +68,14 @@ def run_tum(seq_dir, n_frames=50):
     intr = camera.Intrinsics.make(517.3, 516.5, 318.6, 255.3)  # TUM fr1
     odo = vo.VisualOdometry(intr)
     imgs = [image_io.imread(paths[i], gray=True) for i, _ in pairs]
+    viewer = _maybe_viewer()
     ok = odo.initialize(imgs[0], imgs[1])
     print("init:", ok)
     for f in range(2, len(imgs)):
         odo.track(imgs[f])
+        if viewer is not None:
+            viewer.show(imgs[f], trajectory=np.asarray(odo.positions()),
+                        text=f"frame {f}")
     est = odo.positions()
     gt = gt_pos[[j for _, j in pairs]][:len(est)]
     err = vo.ate_rmse(est, gt)
