@@ -116,6 +116,34 @@ def _pack_key(s_i32: jax.Array, idx_i32: jax.Array) -> jax.Array:
 _PAD_KEY = (255 << 22) | ((1 << 22) - 1)   # pack(strength=0, idx=max)
 
 
+def _compact_rows(key_c: jax.Array, pad_key: int):
+    """Left-compact the valid (< pad) keys of each row in-register via an
+    LSB-first butterfly: a compaction's shift amounts (col - rank) are
+    monotone non-decreasing along the row, so routing one shift bit per
+    stage is collision-free. log2(W) roll+select passes — no one-hot
+    blow-up, no scatter, no sort. Within-row order is preserved (and
+    irrelevant anyway: the caller re-sorts the final k keys)."""
+    hh, ww = key_c.shape
+    v = key_c != pad_key
+    vi = v.astype(jnp.int32)
+    rank = jnp.cumsum(vi, axis=1) - vi
+    cols = jnp.arange(ww, dtype=jnp.int32)[None, :]
+    r = jnp.where(v, cols - rank, 0)
+    y = key_c
+    b = 1
+    while b < ww:
+        cand = jnp.roll(y, -b, axis=1)
+        cv = jnp.roll(v, -b, axis=1)
+        cr = jnp.roll(r, -b, axis=1)
+        move_in = cv & ((cr & b) != 0) & (cols + b < ww)
+        moved_out = v & ((r & b) != 0)
+        y = jnp.where(move_in, cand, jnp.where(moved_out, pad_key, y))
+        r = jnp.where(move_in, cr - b, jnp.where(moved_out, 0, r))
+        v = move_in | (v & ~moved_out)
+        b <<= 1
+    return y, jnp.sum(vi, axis=1)
+
+
 def _cutoff_select(strengths: jax.Array, k: int,
                    nms_spaced: bool = False):
     """Sort-free exact top-k of a u8 strengths map.
@@ -129,11 +157,11 @@ def _cutoff_select(strengths: jax.Array, k: int,
       2. (nms_spaced) NMS with suppress-on-tie leaves at most one survivor
          per 2x2 block, so the selected-key map min-pools 2x2 losslessly —
          strided-slice minimum is free, reshape-reduce relayouts (~2.5 ms);
-      3. compact the selected pixels per (row, 128-col segment) with a
-         fused one-hot compare-reduce (XLA loop-fuses it — no (R,cap,W)
-         materialization) — scatter-free, and with cap == segment width
-         the compaction can never overflow, so there is no fallback path;
-      4. place chunks via searchsorted over chunk offsets + a k-element
+      3. left-compact each row's selected keys with a log2(W)-stage
+         butterfly (_compact_rows) — the prior one-hot compare-reduce
+         materialized a (rows, segs, 128, 128) i32 intermediate (~140 MB
+         of HBM traffic at HD);
+      4. place rows via searchsorted over row offsets + a k-element
          gather (small gathers are ~6 ns/element — fine at k);
       5. restore the exact contract with one k-element packed sort (free).
     Returns sorted packed keys (k,). Bit-identical to lax.top_k over the
@@ -153,8 +181,11 @@ def _cutoff_select(strengths: jax.Array, k: int,
         return (jnp.where(over_k, mid + 1, lo),
                 jnp.where(over_k, hi, mid)), None
 
-    (c, _), _ = jax.lax.scan(bs, (jnp.int32(1), jnp.int32(256)),
-                             None, length=8)
+    # carry init derives from si so its varying-manual-axes type matches the
+    # body output under shard_map (a literal init is 'replicated', the body
+    # output 'varying' -> scan type error on sharded inputs)
+    z = si[0, 0] * 0
+    (c, _), _ = jax.lax.scan(bs, (z + 1, z + 256), None, length=8)
     hi_mask = si >= c
     r = k - jnp.sum(hi_mask.astype(jnp.int32))
     eq = (si == c - 1) & (c > 1)
@@ -172,23 +203,14 @@ def _cutoff_select(strengths: jax.Array, k: int,
         a = jnp.minimum(key_c[0::2], key_c[1::2])
         key_c = jnp.minimum(a[:, 0::2], a[:, 1::2])
 
-    hh, ww = key_c.shape
-    n_seg = ww // _SEG
-    seli = (key_c != _PAD_KEY).reshape(hh, n_seg, _SEG).astype(jnp.int32)
-    lr = jnp.cumsum(seli, axis=2) * seli          # 1-based local rank
-    counts = jnp.sum(seli, axis=2).reshape(-1)    # (hh*n_seg,) chunk counts
-    slots = jnp.arange(1, _SEG + 1, dtype=jnp.int32)
-    oh = lr[:, :, None, :] == slots[None, None, :, None]
-    ck = jnp.sum(jnp.where(oh, key_c.reshape(hh, n_seg, 1, _SEG), 0),
-                 axis=3).reshape(-1, _SEG)        # (chunks, cap) packed keys
-
-    chunk_off = jnp.cumsum(counts) - counts
+    ck, counts = _compact_rows(key_c, _PAD_KEY)   # (hh, ww), (hh,)
+    row_off = jnp.cumsum(counts) - counts
     total = jnp.sum(counts)
     g = jnp.arange(k, dtype=jnp.int32)
-    chunk_g = jnp.sum((chunk_off[None, :] <= g[:, None]).astype(jnp.int32),
-                      axis=1) - 1
-    slot_g = jnp.clip(g - chunk_off[chunk_g], 0, _SEG - 1)
-    keys = ck[chunk_g, slot_g]
+    row_g = jnp.sum((row_off[None, :] <= g[:, None]).astype(jnp.int32),
+                    axis=1) - 1
+    slot_g = jnp.clip(g - row_off[row_g], 0, ck.shape[1] - 1)
+    keys = ck[row_g, slot_g]
     keys = jnp.where(g < total, keys, _PAD_KEY)
     return jax.lax.sort(keys)
 

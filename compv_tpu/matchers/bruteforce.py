@@ -23,27 +23,30 @@ from ..core.types import Descriptors, Matches, PAD_DISTANCE
 
 
 def unpack_bits(packed: jax.Array) -> jax.Array:
-    """(N, words) uint32 -> (N, words*32) float32 in {0,1} (bit i of word w
+    """(N, words) uint32 -> (N, words*32) int8 in {0,1} (bit i of word w
     -> column w*32+i, matching brief._pack_bits order)."""
     n, words = packed.shape
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
-    return bits.reshape(n, words * 32).astype(jnp.float32)
+    return bits.reshape(n, words * 32).astype(jnp.int8)
 
 
 def hamming_matrix(query: Descriptors, train: Descriptors) -> jax.Array:
     """(Q, T) int32 hamming distances.
 
     Using sum_bits(q xor t) = sum(q) + sum(t) - 2 q.t — ONE (Q,256)x(256,T)
-    matmul plus rank-1 corrections, the MXU-optimal form.
+    matmul plus rank-1 corrections, the MXU-optimal form. The bit planes
+    feed the MXU as int8 with int32 accumulation (s8xs8->s32): exact, and
+    ~8x the f32 MXU rate on v5e (394 int8 TOPS vs 49 f32 TFLOPs).
     """
     qb = unpack_bits(query.bits)
     tb = unpack_bits(train.bits)
-    dot = qb @ tb.T  # MXU
-    q1 = jnp.sum(qb, axis=1, keepdims=True)
-    t1 = jnp.sum(tb, axis=1, keepdims=True)
-    d = q1 + t1.T - 2.0 * dot
-    return jnp.round(d).astype(jnp.int32)
+    dot = jax.lax.dot_general(
+        qb, tb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)        # (Q, T) MXU popcount-GEMM
+    q1 = jnp.sum(qb.astype(jnp.int32), axis=1, keepdims=True)
+    t1 = jnp.sum(tb.astype(jnp.int32), axis=1, keepdims=True)
+    return q1 + t1.T - 2 * dot
 
 
 @functools.partial(jax.jit, static_argnames=("knn",))
