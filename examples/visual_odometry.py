@@ -60,24 +60,45 @@ def _maybe_viewer():
     return None
 
 
-def run_tum(seq_dir, n_frames=50):
+def run_tum(seq_dir, n_frames=50, config=None):
     ts, paths = datasets.load_tum_rgb_list(seq_dir)
     gt_ts, gt_pos = datasets.load_tum_trajectory(
         os.path.join(seq_dir, "groundtruth.txt"))
     pairs = datasets.associate(ts[:n_frames], gt_ts)
-    intr = camera.Intrinsics.make(517.3, 516.5, 318.6, 255.3)  # TUM fr1
-    odo = vo.VisualOdometry(intr)
+    # per-sequence intrinsics from calib.txt ('fx fy cx cy') when present,
+    # else the TUM fr1 defaults
+    calib_path = os.path.join(seq_dir, "calib.txt")
+    if os.path.exists(calib_path):
+        with open(calib_path) as f:
+            fx, fy, cx, cy = [float(v) for v in f.read().split()[:4]]
+    else:
+        fx, fy, cx, cy = 517.3, 516.5, 318.6, 255.3   # TUM fr1
+    intr = camera.Intrinsics.make(fx, fy, cx, cy)
+    odo = vo.VisualOdometry(intr, config) if config else \
+        vo.VisualOdometry(intr)
     imgs = [image_io.imread(paths[i], gray=True) for i, _ in pairs]
     viewer = _maybe_viewer()
     ok = odo.initialize(imgs[0], imgs[1])
     print("init:", ok)
+    tracked_frames = [0, 1]
     for f in range(2, len(imgs)):
-        odo.track(imgs[f])
+        if odo.track(imgs[f]):
+            tracked_frames.append(f)
+        if f % 8 == 0:
+            odo.refine()          # windowed bundle adjustment
         if viewer is not None:
             viewer.show(imgs[f], trajectory=np.asarray(odo.positions()),
                         text=f"frame {f}")
+    # final global bundle adjustment over the full trajectory
+    import dataclasses
+    from compv_tpu.core.config import BAConfig
+    odo.config = dataclasses.replace(odo.config, ba=BAConfig(max_iters=40))
+    odo.refine(window=len(odo.trajectory))
     est = odo.positions()
-    gt = gt_pos[[j for _, j in pairs]][:len(est)]
+    # align gt to the frames that actually tracked (a failed frame adds no
+    # pose, so positional indexing would shift every later comparison)
+    gt_rows = [j for _, j in pairs]
+    gt = gt_pos[[gt_rows[f] for f in tracked_frames]][:len(est)]
     err = vo.ate_rmse(est, gt)
     print(f"TUM ATE RMSE (scale-aligned, {len(est)} frames): {err:.4f} m")
     image_io.imwrite("trajectory.png", viz.draw_trajectory(est, gt=gt))
