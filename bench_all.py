@@ -38,6 +38,8 @@ REF_MS = {
     "rgb24_to_gray": 449 / 10000,
     "yuv420_to_rgb": 968 / 10000,
     "rgb_to_hsv": 2137 / 10000,
+    "yuv420_to_hsv": 3045 / 10000,
+    "split_rgb": 694 / 10000,
     "histogram": 1073 / 10000,
     "equalize": 2675 / 10000,
     "fast9_nms": 3358 / 10000,
@@ -95,9 +97,16 @@ def main():
     u_p = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2), np.uint8))
     v_p = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2), np.uint8))
 
-    def bench(fn, base, K1=2, K2=10, trials=4, roll_axis=0, vary="add"):
+    def bench(fn, base, K1=2, K2=10, trials=4, roll_axis=0, vary="add",
+              min_window_ms=12.0):
         """Marginal per-call ms inside one scan program; `base` is the
-        device input rolled by the scan index for distinct inputs."""
+        device input rolled by the scan index for distinct inputs.
+
+        K2 grows adaptively until the marginal window t(K2)-t(K1) clears
+        `min_window_ms`: the tunnel's bursty dispatch latency is ~1-3 ms,
+        so a window below ~10 ms is indistinguishable from noise — that is
+        exactly how round-2's first sweep printed 0.0000 ms (and absurd
+        speedups) for every sub-50-us op."""
 
         def make(K):
             @jax.jit
@@ -127,10 +136,6 @@ def main():
                 return o
             return run
 
-        r1, r2 = make(K1), make(K2)
-        float(r1(base))
-        float(r2(base))
-
         def tmin(r):
             best = 1e9
             for _ in range(trials):
@@ -139,7 +144,17 @@ def main():
                 best = min(best, time.perf_counter() - t0)    # NOT block
             return best          # on the axon tunnel (round-2 finding)
 
-        return (tmin(r2) - tmin(r1)) / (K2 - K1) * 1e3
+        r1 = make(K1)
+        float(r1(base))          # warm compile
+        t1 = tmin(r1)
+        while True:
+            r2 = make(K2)
+            float(r2(base))
+            t2 = tmin(r2)
+            if (t2 - t1) * 1e3 >= min_window_ms or K2 >= 4096:
+                break
+            K2 *= 4
+        return (t2 - t1) / (K2 - K1) * 1e3
 
     HW = h * w
 
@@ -159,6 +174,11 @@ def main():
         bench(lambda y: color.yuv420_to_rgb(y, u_p, v_p), y_p, K2=80),
         4.5 * HW, 0)
     results["rgb_to_hsv"] = (bench(color.rgb_to_hsv, rgb, K2=80), 6 * HW, 0)
+    results["yuv420_to_hsv"] = (
+        bench(lambda y: color.yuv420_to_hsv(y, u_p, v_p), y_p, K2=80),
+        4.5 * HW, 0)
+    results["split_rgb"] = (
+        bench(color.split_channels, rgb, K2=80), 6 * HW, 0)
     results["histogram"] = (bench(histogram.histogram256, gray, K2=40),
                             HW + 1024, 0)
     results["equalize"] = (bench(histogram.equalize, gray, K2=40), 2 * HW, 0)

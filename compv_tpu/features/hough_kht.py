@@ -8,7 +8,8 @@ accumulator, thresholding with a global scale GS.
 
 TPU formulation — same three phases, each parallel:
   1. linking/clustering -> connected-component labeling of the edge map
-     (features/ccl.py) + per-component scatter statistics via segment_sum;
+     batched tile-local label propagation + per-cluster moment sums as
+     factored-indicator matmuls (ops/binsum.py) — scatter-free;
   2. per-cluster line fit -> eigen of the 2x2 scatter matrix (closed form);
      the fit quality (eigenvalue ratio) gives the kernel's angular/radial
      spread exactly as the KHT variances do;
@@ -30,8 +31,8 @@ import numpy as np
 
 from ..core.config import HoughConfig
 from ..core.registry import register
-from . import ccl
-from .hough_sht import HoughLines
+from ..ops import binsum
+from .hough_sht import HoughLines, select_peaks
 
 
 def _batched_label(tiles: jax.Array, max_iters: int) -> jax.Array:
@@ -76,58 +77,68 @@ def _batched_label(tiles: jax.Array, max_iters: int) -> jax.Array:
     return lbl
 
 
-def _tiled_labels(binary: jax.Array, tile: int) -> jax.Array:
-    """Connected-component labels computed independently per (tile x tile)
-    block — the TPU-native version of KHT's subdivision of linked strings
-    into approximately-straight clusters (houghkht.cxx clusters_find): a
-    curve or crossing is cut at tile boundaries into short, mostly-straight
-    pieces, while a straight segment splits into collinear pieces that vote
-    to the same accumulator cell anyway. Returns global-unique labels with
-    background = H*W."""
-    h, w = binary.shape
-    ty, tx = h // tile, w // tile
-    n = h * w
-    tiles = binary[: ty * tile, : tx * tile] \
-        .reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3) \
-        .reshape(ty * tx, tile, tile)
-    # worst-case internal path of a winding string inside one tile is
-    # ~tile*tile/2 steps with one-step propagation; the while_loop exits
-    # early on convergence so the cap is only a safety bound (a too-small
-    # cap would split one string into several, duplicating KHT votes)
-    local = _batched_label(tiles, max_iters=(tile * tile) // 2)
-    # globalize: local labels < tile*tile; background tile*tile
-    tile_ids = jnp.arange(ty * tx, dtype=jnp.int32)[:, None, None]
-    glob = jnp.where(local < tile * tile,
-                     tile_ids * (tile * tile) + local, n)
-    out = jnp.full((h, w), n, jnp.int32)
-    glob = glob.reshape(ty, tx, tile, tile).transpose(0, 2, 1, 3) \
-        .reshape(ty * tile, tx * tile)
-    return out.at[: ty * tile, : tx * tile].set(glob)
-
-
 def cluster_statistics(binary: jax.Array, max_clusters: int = 512,
                        tile: int = 16):
     """Tile-subdivided clusters + per-cluster first/second moments.
 
     Returns (count (C,), mean (C,2), cov (C,2,2), valid (C,)).
-    """
-    labels = _tiled_labels(binary, tile)
-    # per-cluster moments via the run-based component extractor — six
-    # scatter-based segment_sums over megapixel segment spaces cost ~45 ms
-    # at HD on v5e (scatter ~6 ns/element); extract_components computes the
-    # identical six moments from closed-form per-run sums in ~2 ms
-    comps = ccl.extract_components(labels, max_components=max_clusters)
-    m = comps.moments
-    top_cnt = m[:, 0]
+
+    Labels are TILE-LOCAL (< tile*tile) by construction, so the per-cluster
+    moment sums are batched factored-indicator matmuls over the tile batch
+    (ops/binsum.py) — no global component extraction, no scatter, no big
+    sorts (the round-1 extract_components path cost ~9.6 ms at HD; this is
+    MXU work on (B, tile^2, 16) indicators).  Moments accumulate in
+    tile-LOCAL coordinates (values < tile^2 — exact in f32; global x^2
+    sums lose the covariance to cancellation) and means shift back by the
+    tile offset, under which the covariance is invariant.  Cluster
+    selection reuses the FAST sort-free cutoff top-k on the (B, tile^2)
+    count grid."""
+    from .fast import _cutoff_select, _pack_key  # sort-free exact top-k
+    h, w = binary.shape
+    ty, tx = h // tile, w // tile
+    b = ty * tx
+    tt = tile * tile
+    tiles = binary[: ty * tile, : tx * tile] \
+        .reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3) \
+        .reshape(b, tile, tile)
+    local = _batched_label(tiles, max_iters=tt // 2)       # (B, t, t)
+    lab = local.reshape(b, tt)          # bins [0, tt); bg tt -> dropped
+    xl = jnp.broadcast_to(
+        jnp.arange(tile, dtype=jnp.float32)[None, None, :],
+        (b, tile, tile)).reshape(b, tt)
+    yl = jnp.broadcast_to(
+        jnp.arange(tile, dtype=jnp.float32)[None, :, None],
+        (b, tile, tile)).reshape(b, tt)
+    cnt = binsum.bincount_batched(lab, tt).astype(jnp.float32)
+    sx = binsum.bincount_batched(lab, tt, xl)
+    sy = binsum.bincount_batched(lab, tt, yl)
+    sxx = binsum.bincount_batched(lab, tt, xl * xl)
+    sxy = binsum.bincount_batched(lab, tt, xl * yl)
+    syy = binsum.bincount_batched(lab, tt, yl * yl)
+
+    # top-K clusters by pixel count (counts clamp to 255 for the cutoff
+    # search; exact counts are re-read at the K selected slots)
+    assert b * tt < (1 << 22), (
+        "cluster grid exceeds the 22-bit packed-key index space "
+        f"({b}x{tt}); raise `tile` for >4K inputs")
+    cnt_u8 = jnp.clip(cnt, 0, 255).astype(jnp.uint8)
+    keys = _cutoff_select(cnt_u8, max_clusters)
+    sel = (keys & ((1 << 22) - 1)).astype(jnp.int32)
+    picked = keys != _pack_key(jnp.int32(0), jnp.int32((1 << 22) - 1))
+    bi = jnp.minimum(sel // tt, b - 1)
+    li = sel % tt
+    top_cnt = jnp.where(picked, cnt[bi, li], 0.0)
     c = jnp.maximum(top_cnt, 1.0)
-    mx = m[:, 1] / c
-    my = m[:, 2] / c
-    cxx = m[:, 3] / c - mx * mx
-    cyy = m[:, 5] / c - my * my
-    cxy = m[:, 4] / c - mx * my
+    offx = (bi % tx).astype(jnp.float32) * tile
+    offy = (bi // tx).astype(jnp.float32) * tile
+    mx_l = sx[bi, li] / c
+    my_l = sy[bi, li] / c
+    cxx = sxx[bi, li] / c - mx_l * mx_l
+    cyy = syy[bi, li] / c - my_l * my_l
+    cxy = sxy[bi, li] / c - mx_l * my_l
     cov = jnp.stack([jnp.stack([cxx, cxy], -1),
                      jnp.stack([cxy, cyy], -1)], -2)
-    mean = jnp.stack([mx, my], -1)
+    mean = jnp.stack([mx_l + offx, my_l + offy], -1)
     return top_cnt, mean, cov, top_cnt >= 4.0  # clusters need >=4 px
 
 
@@ -196,12 +207,7 @@ def hough_lines_kht(edges: jax.Array, config: HoughConfig = HoughConfig(),
     nmax = functools.reduce(jnp.maximum, neigh)
     acc_nms = jnp.where((acc >= nmax) & (acc >= config.threshold), acc, 0.0)
 
-    flat = acc_nms.reshape(-1)
-    k = min(config.max_lines, flat.shape[0])
-    vals, idx = jax.lax.top_k(flat, k)
-    if k < config.max_lines:
-        vals = jnp.pad(vals, (0, config.max_lines - k))
-        idx = jnp.pad(idx, (0, config.max_lines - k))
+    vals, idx = select_peaks(acc_nms, config.max_lines)
     line_valid = vals > 0
     r_sel = idx // n_theta
     t_sel = idx % n_theta

@@ -6,8 +6,9 @@ SSE/AVX/NEON accumulator asm): edge-list build -> polar accumulator
 
 TPU formulation: edge pixels are extracted into a fixed-capacity coordinate
 list (top_k over the edge map — same budgeting trick as FAST points); voting
-is a segment_sum of K points x T thetas into the (rho, theta) accumulator —
-K·T adds instead of H·W·T; NMS + top-k mirror the FAST postlude.
+is a batched factored-indicator matmul (ops/binsum.py) building per-theta
+rho histograms on the int8 MXU — K·T indicator compares + one contraction
+instead of H·W·T scatter-adds; NMS + top-k mirror the FAST postlude.
 """
 from __future__ import annotations
 
@@ -20,6 +21,35 @@ import numpy as np
 
 from ..core.config import HoughConfig
 from ..core.registry import register
+from ..ops import binsum, compaction
+
+
+def select_peaks(acc_nms: jax.Array, max_lines: int, cap: int = 4096):
+    """Top `max_lines` (value, flat_idx) of a sparse post-NMS accumulator.
+
+    lax.top_k over the full (n_rho * n_theta) grid is a full sort (trap:
+    ~ms at 0.5M cells); NMS+threshold leave FEW peaks, so compact the
+    nonzeros (butterfly, ops/compaction.py) and top_k the capacity buffer.
+    If more than `cap` cells survive NMS+threshold the weakest overflow is
+    dropped in scan order — matching the reference's collect-then-sort
+    only up to capacity (houghsht.cxx collects all, but >4096 surviving
+    peaks means the threshold is degenerate)."""
+    n_rho, n_theta = acc_nms.shape
+    cap = min(cap, acc_nms.size)
+    flat_idx = (jax.lax.broadcasted_iota(jnp.int32, acc_nms.shape, 0)
+                * n_theta
+                + jax.lax.broadcasted_iota(jnp.int32, acc_nms.shape, 1))
+    (v, i), ok, _ = compaction.compact(
+        acc_nms > 0, (acc_nms, flat_idx), cap)
+    v = jnp.where(ok, v, 0)
+    i = jnp.where(ok, i, 0)
+    k = min(max_lines, cap)
+    vals, pos = jax.lax.top_k(v.astype(jnp.float32), k)
+    idx = i[pos]
+    if k < max_lines:
+        vals = jnp.pad(vals, (0, max_lines - k))
+        idx = jnp.pad(idx, (0, max_lines - k))
+    return vals, idx
 
 
 class HoughLines(NamedTuple):
@@ -33,16 +63,25 @@ class HoughLines(NamedTuple):
 
 
 def edge_coordinates(edges: jax.Array, max_points: int):
-    """(K, 2) xy of the strongest edge pixels + valid mask. For binary maps
-    all on-pixels are equal-strength; top_k picks deterministically."""
+    """(K, 2) xy of the first `max_points` edge pixels in scan order +
+    valid mask.  Butterfly compaction (ops/compaction.py) — lax.top_k over
+    the megapixel map is a full sort (~5 ms at HD); order matches top_k's
+    tie semantics (all on-pixels are equal-strength -> index order)."""
     h, w = edges.shape
-    flat = edges.reshape(-1).astype(jnp.float32)
+    xs_g = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ys_g = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    (xs, ys), valid, _ = compaction.compact(
+        edges > 0, (xs_g, ys_g), min(max_points, h * w))
     k = min(max_points, h * w)
-    vals, idx = jax.lax.top_k(flat, k)
-    valid = vals > 0
-    xs = (idx % w).astype(jnp.float32)
-    ys = (idx // w).astype(jnp.float32)
-    return jnp.stack([xs, ys], 1), valid
+    xs = jnp.where(valid, xs, 0)
+    ys = jnp.where(valid, ys, 0)
+    if k < max_points:
+        pad = max_points - k
+        xs = jnp.pad(xs, (0, pad))
+        ys = jnp.pad(ys, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    return jnp.stack([xs.astype(jnp.float32),
+                      ys.astype(jnp.float32)], 1), valid
 
 
 @functools.partial(jax.jit, static_argnames=("config", "max_edge_points",
@@ -65,14 +104,12 @@ def hough_lines_sht(edges: jax.Array, config: HoughConfig = HoughConfig(),
     rho = xy[:, 0:1] * cos_t[None, :] + xy[:, 1:2] * sin_t[None, :]
     rho_idx = jnp.round(rho / config.rho).astype(jnp.int32) + (n_rho // 2)
     rho_idx = jnp.clip(rho_idx, 0, n_rho - 1)
-    # flatten (point, theta) votes into the (n_rho * n_theta) accumulator
-    theta_idx = jnp.broadcast_to(
-        jnp.arange(n_theta, dtype=jnp.int32)[None, :], rho_idx.shape)
-    seg = rho_idx * n_theta + theta_idx
-    votes = jnp.broadcast_to(valid[:, None].astype(jnp.int32), rho_idx.shape)
-    acc = jax.ops.segment_sum(votes.reshape(-1), seg.reshape(-1),
-                              num_segments=n_rho * n_theta)
-    acc = acc.reshape(n_rho, n_theta)
+    # invalid points vote nowhere: binsum drops out-of-range indices
+    rho_idx = jnp.where(valid[:, None], rho_idx, n_rho)
+    # per-theta rho histograms as ONE batched factored-indicator matmul
+    # (ops/binsum.py) — the K*T scatter votes of round 1 serialized on the
+    # TPU scatter unit (~22 ms at HD); this rides the int8 MXU (<1 ms)
+    acc = binsum.bincount_batched(rho_idx.T, n_rho).T  # (n_rho, n_theta)
 
     # accumulator NMS (3x3, ties keep — reference nms :481)
     pad = jnp.pad(acc, 1)
@@ -82,12 +119,7 @@ def hough_lines_sht(edges: jax.Array, config: HoughConfig = HoughConfig(),
     acc_nms = jnp.where(acc >= nmax, acc, 0)
     acc_nms = jnp.where(acc_nms >= config.threshold, acc_nms, 0)
 
-    flat = acc_nms.reshape(-1)
-    k = min(config.max_lines, flat.shape[0])
-    vals, idx = jax.lax.top_k(flat, k)
-    if k < config.max_lines:
-        vals = jnp.pad(vals, (0, config.max_lines - k))
-        idx = jnp.pad(idx, (0, config.max_lines - k))
+    vals, idx = select_peaks(acc_nms, config.max_lines)
     line_valid = vals > 0
     r_i = idx // n_theta
     t_i = idx % n_theta

@@ -3,22 +3,39 @@
 Re-design of the reference's LMSER (core/ccl/compv_core_ccl_lmser.cxx, 531
 LoC: linear-time component tree via union-find flood, with delta/variation/
 min|max-area pruning). The union-find component tree is inherently
-sequential; the TPU-native reformulation sweeps T threshold levels in
-parallel (SURVEY §7 "threshold-sweep reformulation"):
+sequential; the TPU-native reformulation sweeps T threshold levels
+(SURVEY §7 "threshold-sweep reformulation") and tracks components in a
+FIXED-CAPACITY RUN/COMPONENT SPACE instead of per pixel:
 
   1. masks[t] = img <= level_t           (dark-on-bright; invert for bright)
-  2. labels[t] = connected components     (features/ccl.py label propagation)
-  3. area-per-pixel[t] = component size containing each pixel — because
-     components only grow with t, the pixel's component chain IS the
-     extremal-region evolution the component tree tracks
-  4. variation[t] = (area[t+d] - area[t-d]) / area[t]   (same d=delta rule
-     as lmser; region is stable where variation is a local minimum in t and
-     below max_variation, with min/max area bounds)
-  5. one seed per (level, component) = the pixel equal to its component's
-     root index; top-K seeds by stability -> fixed-capacity region table.
+  2. labels[t] = connected components     (features/ccl.py, warm-started —
+     components only grow with t, so the previous level's roots are valid
+     initial labels)
+  3. per-level COMPONENT TABLE (root, area), built in run space: per-row
+     runs -> butterfly compaction (ops/compaction.py) -> one small
+     (root, runlen) sort -> segmented sums.  Round 1 computed a per-PIXEL
+     area map via segment_sum + gather over megapixel key spaces — ~16 ms
+     per level on v5e (scatter/gather ~6 ns/element); the run-space table
+     costs ~0.5 ms.
+  4. variation[t, c] = (area_t+d(r_c) - area_t-d(r_c)) / area_t(c) — the
+     cross-level areas come from gathering the t+-d label at the C root
+     pixels and ranking it in that level's sorted component table
+     (jnp.searchsorted method='sort': one small merge sort, no per-query
+     binary-search gathers).  Because components only grow, a pixel's
+     component chain IS the extremal-region evolution the reference's
+     component tree tracks.
+  5. stability: variation is a local minimum along the root pixel's chain
+     (same +-1-level lookups) and below max_variation, with min/max area
+     bounds; top-K candidates by stability via butterfly compaction of the
+     sparse stable set (a top_k over the (T, H, W) score volume — round 1 —
+     is a full 40M-element sort).
 
 Diversity pruning (lmser min_diversity) is approximated by the local-minimum
 rule: one region per stability valley along each pixel chain.
+
+Capacities: max_components_per_level components are tracked per level and
+max_runs row-runs feed each table (both static; overflow drops the largest
+root indices / last runs in scan order — compare `count`s when tuning).
 """
 from __future__ import annotations
 
@@ -30,6 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.registry import register
+from ..ops import compaction
 from . import ccl
 
 
@@ -43,6 +61,8 @@ class MSERConfig:
     max_regions: int = 64
     bright_on_dark: bool = False  # False: dark regions (img <= t)
     connectivity: int = 8
+    max_components_per_level: int = 8192
+    max_runs: int = 131072
 
 
 class MSERRegions(NamedTuple):
@@ -55,6 +75,55 @@ class MSERRegions(NamedTuple):
     count: jax.Array       # () int32
 
 
+def _component_table(lbl: jax.Array, cap: int, max_runs: int):
+    """(roots (C,), areas (C,)) of a labeled image, sorted ascending by
+    root, padded with root = n (the background sentinel orders after every
+    real root, keeping the table sorted for searchsorted)."""
+    h, w = lbl.shape
+    n = h * w
+    fg = lbl < n
+    left = jnp.pad(fg, ((0, 0), (1, 0)))[:, :w]
+    start = fg & ~left
+
+    def op(a, b):          # suffix run-length scan, resets at background
+        av, af = a
+        bv, bf = b
+        return (jnp.where(bf, bv, av + bv), af | bf)
+
+    runlen, _ = jax.lax.associative_scan(
+        op, (fg.astype(jnp.int32), ~fg), axis=1, reverse=True)
+    (r_root, r_len), r_valid, _ = compaction.compact(
+        start, (lbl, runlen), min(max_runs, n))
+    r_root = jnp.where(r_valid, r_root, n)
+    r_len = jnp.where(r_valid, r_len, 0)
+    s_root, s_len = jax.lax.sort((r_root, r_len), num_keys=1)
+    new = jnp.concatenate([jnp.ones((1,), bool), s_root[1:] != s_root[:-1]])
+
+    def op2(a, b):
+        av, af = a
+        bv, bf = b
+        return (jnp.where(bf, bv, av + bv), af | bf)
+
+    csum, _ = jax.lax.associative_scan(op2, (s_len, new))
+    is_end = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
+    (roots, areas), c_valid, _ = compaction.compact(
+        (is_end & (s_root < n))[None, :],
+        (s_root[None, :], csum[None, :]), cap)
+    roots = jnp.where(c_valid, roots, n)
+    areas = jnp.where(c_valid, areas, 0)
+    return roots, areas
+
+
+def _rank_lookup(table_roots: jax.Array, table_vals: jax.Array,
+                 queries: jax.Array, miss, n: int):
+    """vals[rank(q)] where rank is q's position in the sorted root table;
+    `miss` for queries absent from the table (e.g. background)."""
+    pos = jnp.searchsorted(table_roots, queries, method="sort")
+    pos = jnp.minimum(pos, table_roots.shape[0] - 1)
+    hit = (table_roots[pos] == queries) & (queries < n)
+    return jnp.where(hit, table_vals[pos], miss), pos, hit
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def mser(img: jax.Array, config: MSERConfig = MSERConfig()) -> MSERRegions:
     """Detect MSER regions on a grayscale uint8 image."""
@@ -65,71 +134,97 @@ def mser(img: jax.Array, config: MSERConfig = MSERConfig()) -> MSERRegions:
                         dtype=jnp.int32)
     t_count = int(levels.shape[0])
     d = config.delta
+    cap = min(config.max_components_per_level, n)
 
     def _level_compute(mask, prev_lbl):
-        # warm start from the previous (nested, smaller) level's labels:
-        # roots are pixel indices that stay foreground as the mask grows,
-        # so they are valid initial values — convergence in ~1 sweep/level
         lbl = ccl.label(mask.astype(jnp.uint8), config.connectivity,
                         init=prev_lbl)
-        flat = lbl.reshape(-1)
-        fg = flat < n
-        seg = jnp.where(fg, flat, n)
-        hist = jax.ops.segment_sum(fg.astype(jnp.int32), seg,
-                                   num_segments=n + 1)
-        area_pp = jnp.where(fg, hist[jnp.minimum(flat, n)], 0)
-        return lbl, area_pp.reshape(h, w)
+        roots, areas = _component_table(lbl, cap, config.max_runs)
+        return lbl, roots, areas
 
     def per_level(carry, lv):
-        prev_mask, prev_lbl, prev_area = carry
+        prev_mask, prev_lbl, prev_roots, prev_areas = carry
         mask = x <= lv
         # skip unchanged levels entirely: on low-gray-count images (text
         # scans, the reference MSER workload class) most threshold steps
-        # add NO pixels, and labeling + per-pixel areas are the whole cost
-        lbl, area = jax.lax.cond(
+        # add NO pixels, and labeling + tables are the whole cost
+        lbl, roots, areas = jax.lax.cond(
             jnp.any(mask != prev_mask),
             lambda: _level_compute(mask, prev_lbl),
-            lambda: (prev_lbl, prev_area))
-        return (mask, lbl, area), (lbl, area)
+            lambda: (prev_lbl, prev_roots, prev_areas))
+        return (mask, lbl, roots, areas), (lbl, roots, areas)
 
     init = (jnp.zeros((h, w), bool), jnp.full((h, w), n, jnp.int32),
-            jnp.zeros((h, w), jnp.int32))
-    _, (labels, areas) = jax.lax.scan(per_level, init, levels)
+            jnp.full((cap,), n, jnp.int32), jnp.zeros((cap,), jnp.int32))
+    _, (labels, roots_t, areas_t) = jax.lax.scan(per_level, init, levels)
+    lab_flat = labels.reshape(t_count, n)
 
-    af = areas.astype(jnp.float32)
-    lo = jnp.concatenate([jnp.repeat(af[:1], d, 0), af[:-d]])
-    hi = jnp.concatenate([af[d:], jnp.repeat(af[-1:], d, 0)])
-    variation = (hi - lo) / jnp.maximum(af, 1.0)     # (T,H,W)
-    variation = jnp.where(areas > 0, variation, jnp.inf)
+    def chain_area(offset):
+        """(T, C) area of the component containing root c at level
+        t+offset, CLAMPED at the sweep edges (the reference/old per-pixel
+        formulation reuses the first/last level there); 0 where that pixel
+        is background at the source level."""
+        src_t = jnp.clip(jnp.arange(t_count) + offset, 0, t_count - 1)
+        src = lab_flat[src_t]                            # (T, n)
+        g = jnp.take_along_axis(
+            src, jnp.minimum(roots_t, n - 1), axis=1)   # (T, C)
+        g = jnp.where(roots_t < n, g, n)
+        area, _, _ = jax.vmap(
+            lambda tr, tv, q: _rank_lookup(tr, tv, q, 0, n))(
+            roots_t[src_t], areas_t[src_t], g)
+        return area.astype(jnp.float32)
 
-    # stability: local minimum of variation along t + thresholds
-    v_prev = jnp.concatenate([jnp.full_like(variation[:1], jnp.inf),
-                              variation[:-1]])
-    v_next = jnp.concatenate([variation[1:],
-                              jnp.full_like(variation[:1], jnp.inf)])
+    af = areas_t.astype(jnp.float32)
+    area_hi = chain_area(d)
+    area_lo = chain_area(-d)
+    live = roots_t < n
+    variation = jnp.where(live, (area_hi - area_lo) / jnp.maximum(af, 1.0),
+                          jnp.inf)
+
+    # stability: local minimum of variation along each root's chain
+    def chain_variation(offset):
+        src = jnp.roll(lab_flat, -offset, axis=0)
+        g = jnp.take_along_axis(src, jnp.minimum(roots_t, n - 1), axis=1)
+        g = jnp.where(roots_t < n, g, n)
+        t_ok = ((jnp.arange(t_count) + offset >= 0)
+                & (jnp.arange(t_count) + offset < t_count))[:, None]
+        g = jnp.where(t_ok, g, n)
+        shifted_roots = jnp.roll(roots_t, -offset, axis=0)
+        shifted_var = jnp.roll(variation, -offset, axis=0)
+        v, _, _ = jax.vmap(
+            lambda tr, tv, q: _rank_lookup(tr, tv, q, jnp.inf, n))(
+            shifted_roots, shifted_var, g)
+        return v
+
+    v_prev = chain_variation(-1)
+    v_next = chain_variation(1)
     min_a = max(int(config.min_area * n), 1)
     max_a = int(config.max_area * n)
-    stable = ((variation <= v_prev) & (variation < v_next)
+    stable = (live & (variation <= v_prev) & (variation < v_next)
               & (variation <= config.max_variation)
-              & (areas >= min_a) & (areas <= max_a))
+              & (af >= min_a) & (af <= max_a))
 
-    # one candidate per (level, component): the component-root pixel
-    flat_idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
-    is_root = labels == flat_idx[None]
-    score = jnp.where(stable & is_root, -variation, -jnp.inf)
-
+    # top-K by stability: compact the sparse stable set, then a small sort
     k = config.max_regions
-    vals, idx = jax.lax.top_k(score.reshape(-1), k)
+    tt_idx = jax.lax.broadcasted_iota(jnp.int32, stable.shape, 0)
+    (c_var, c_t, c_root), c_ok, _ = compaction.compact(
+        stable, (variation, tt_idx, roots_t), min(4096, stable.size))
+    score = jnp.where(c_ok & jnp.isfinite(c_var), -c_var, -jnp.inf)
+    kk = min(k, score.shape[0])
+    vals, pos = jax.lax.top_k(score, kk)
+    if kk < k:
+        vals = jnp.pad(vals, (0, k - kk), constant_values=-jnp.inf)
+        pos = jnp.pad(pos, (0, k - kk))
     valid = jnp.isfinite(vals)
-    t_idx = idx // n
-    root = idx % n
+    t_idx = c_t[pos]
+    root = c_root[pos]
 
     # per-region features from its level's label map (K masked reductions)
     ys = (jnp.arange(n, dtype=jnp.int32) // w)
     xs = (jnp.arange(n, dtype=jnp.int32) % w)
 
     def region_feats(t, r):
-        m = labels[t].reshape(-1) == r
+        m = lab_flat[t] == r
         cnt = jnp.sum(m)
         x0 = jnp.min(jnp.where(m, xs, w))
         x1 = jnp.max(jnp.where(m, xs, -1))
@@ -140,7 +235,8 @@ def mser(img: jax.Array, config: MSERConfig = MSERConfig()) -> MSERRegions:
         cy = jnp.sum(jnp.where(m, ys, 0)) / c
         return cnt, jnp.stack([x0, y0, x1, y1]), jnp.stack([cx, cy])
 
-    cnt, boxes, cents = jax.vmap(region_feats)(t_idx, root)
+    cnt, boxes, cents = jax.vmap(region_feats)(
+        jnp.minimum(t_idx, t_count - 1), jnp.where(valid, root, -1))
     return MSERRegions(
         levels=jnp.where(valid, levels[jnp.minimum(t_idx, t_count - 1)], 0),
         areas=jnp.where(valid, cnt, 0).astype(jnp.int32),

@@ -182,6 +182,13 @@ def rgb_to_hsv(rgb: jax.Array) -> jax.Array:
     return jnp.clip(jnp.round(hsv), 0, 255).astype(jnp.uint8)
 
 
+def yuv420_to_hsv(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Planar YUV420 -> HSV (reference benches this composite directly,
+    speed_compare:38-42; compv_image_conv_to_hsv.cxx routes YUV through
+    RGB the same way)."""
+    return rgb_to_hsv(yuv420_to_rgb(y, u, v))
+
+
 def hsv_to_rgb(hsv: jax.Array) -> jax.Array:
     h = hsv[..., 0].astype(jnp.float32) * (6.0 / 255.0)
     s = hsv[..., 1].astype(jnp.float32) / 255.0

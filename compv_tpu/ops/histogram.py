@@ -10,36 +10,28 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .binsum import apply_lut256, bincount
+
 
 def histogram256(img: jax.Array) -> jax.Array:
     """(256,) int32 counts of a uint8 image.
 
-    Formulated as a sorted-bincount via one-hot reduction in blocks: XLA
-    lowers jnp.bincount-style scatter poorly on TPU, so we reduce a
-    (pixels, 256) one-hot in chunks — MXU/VPU friendly, fully fused.
+    Factored one-hot matmul (ops/binsum.py): 16+16 indicator compares per
+    pixel + one int8 MXU contraction — exact, scatter-free; a full
+    one_hot(N, 256) reduction (round 1) moved 32x the data.
     """
-    flat = img.reshape(-1).astype(jnp.int32)
-    # one_hot over 256 lanes: last dim 128-aligned (256 = 2 lanes of 128).
-    oh = jax.nn.one_hot(flat, 256, dtype=jnp.int32)
-    return jnp.sum(oh, axis=0)
+    return bincount(img, 256)
 
 
 def apply_monotone_lut(img: jax.Array, lut: jax.Array) -> jax.Array:
-    """Apply a NON-DECREASING 256-entry u8 LUT without a per-pixel gather.
-
-    XLA-TPU gathers run ~6 ns/element (a 1.3 MP LUT apply cost 7.7 ms);
-    for a monotone LUT, out(v) = #{k in 0..254 : lut[v] > k}
-                              = sum_k 1[v >= b_k]
-    with b_k = min{u : lut[u] > k} — 255 fused compare-accumulate VPU
-    passes (~0.3 ms at HD), exactly equal to lut[v]."""
+    """Apply a 256-entry LUT without a per-pixel gather (XLA-TPU gathers
+    run ~6 ns/element; a 1.3 MP LUT apply cost 7.7 ms).  Kept under its
+    historical name — the factored-matmul formulation (binsum.apply_lut256)
+    no longer needs the monotonicity restriction."""
     from ..kernels.dispatch import on_tpu
     if not on_tpu():
         return lut[img.astype(jnp.int32)]
-    b = jnp.searchsorted(lut.astype(jnp.int32),
-                         jnp.arange(255, dtype=jnp.int32), side="right")
-    v = img.astype(jnp.int32)
-    out = jnp.sum(v[..., None] >= b, axis=-1)
-    return out.astype(jnp.uint8)
+    return apply_lut256(img, lut)
 
 
 def equalize(img: jax.Array) -> jax.Array:
