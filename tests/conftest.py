@@ -16,64 +16,60 @@ import jax
 # config flag is authoritative
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite is dominated by XLA compiles of the
-# big RANSAC/LM/BA graphs; caching makes re-runs ~10x faster.
-#
-# EXCEPT the VO-family modules: the XLA CPU executable (de)serializer
-# segfaults/aborts on the big VO `_track_step` scan executables — on
-# serialize (put_executable_and_time) in 5+ full-suite and isolated
-# test_vo* runs, and on DEserialize (get_executable_and_time) once entries
-# exist. Plain compilation of the same programs is fine (pre-cache suites
-# were green), so the VO modules opt out of the persistent cache entirely
-# via pytest_runtest_setup below; everything else keeps read+write caching.
-_cache_dir = os.environ.get("COMPV_TEST_CACHE_DIR") or os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
-# Modules whose executables trip the XLA CPU (de)serializer crash above.
-_CACHE_UNSAFE_PREFIXES = ("tests.test_vo", "tests.test_tum_e2e",
-                          "test_vo", "test_tum_e2e")
-_cache_off = False
+# NO persistent compilation cache: the XLA CPU executable (de)serializer
+# in this jax build segfaults nondeterministically once the process has
+# accumulated compiled executables — reproduced on SERIALIZE
+# (put_executable_and_time, big VO scan programs, 5+ runs), on DESERIALIZE
+# (get_executable_and_time — both the VO programs at 87% of the suite and
+# a SMALL se3/BA program at 27%), while plain compilation of the same
+# programs in a fresh process is green.  Cold compiles are slower but
+# deterministic; a crashed suite is worth less than a slow one.  Opt back
+# in explicitly with COMPV_TEST_CACHE_DIR (for bisecting, never CI).
+_cache_dir = os.environ.get("COMPV_TEST_CACHE_DIR")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
-def pytest_runtest_setup(item):
-    global _cache_off
-    if _cache_off:
-        return
-    mod = getattr(item, "module", None)
-    name = getattr(mod, "__name__", "")
-    if name.startswith(_CACHE_UNSAFE_PREFIXES):
-        jax.config.update("jax_compilation_cache_dir", None)
-        _cache_off = True
+# ---- whole-suite subprocess sharding -----------------------------------
+# The XLA CPU compiler in this jax build SEGFAULTS once one process has
+# accumulated enough compiled executables — first seen on the big VO
+# `_track_step` scan programs (~87% of a full run), then on a small se3/BA
+# program (27%), then in test_mser (62%) after an unrelated CCL change
+# shifted the program mix.  The crash follows cumulative compile count,
+# not any specific module, so per-module quarantine is whack-a-mole.
+# Mitigation: a FULL-SUITE session defers every test module into small
+# fresh-subprocess groups launched by tests/test_zzz_isolated.py; each
+# group stays far below the observed crash threshold.  Targeted sessions
+# (e.g. `pytest tests/test_vo.py`) run in-process as usual.
+_INNER_ENV = "COMPV_ISOLATED_INNER"
 
-
-# ---- VO-family subprocess isolation -----------------------------------
-# The XLA CPU compiler SEGFAULTS on the big VO `_track_step` scan programs
-# when the process has already executed most of the suite (reproduced at
-# the identical spot in 3 configurations: crash in executable serialize,
-# in cache-entry deserialize, and — with the cache fully off — in
-# backend_compile_and_load itself).  The same modules are green in a fresh
-# process (cache off).  So in a FULL-SUITE session the VO-family modules
-# are deferred to one fresh subprocess, launched by
-# tests/test_zzz_vo_family.py (alphabetically last); small/targeted
-# sessions (e.g. `pytest tests/test_vo_long.py`) run in-process as usual.
-_VO_FILES = ("test_vo.py", "test_vo_geometry.py", "test_vo_long.py",
-             "test_tum_e2e.py")
+# Modules pinned into their own groups: the VO family holds the biggest
+# programs (an all-VO process crashed at its 14th big compile), so it is
+# split in two; everything else is chunked alphabetically.
+_PINNED_GROUPS = (("test_vo.py", "test_vo_geometry.py"),
+                  ("test_vo_long.py", "test_tum_e2e.py"))
+_CHUNK = 3  # unpinned modules per subprocess group
 
 
 def pytest_collection_modifyitems(config, items):
-    if os.environ.get("COMPV_VO_INNER"):
+    if os.environ.get(_INNER_ENV) or os.environ.get("COMPV_NO_ISOLATION"):
         return
-    vo = [i for i in items
-          if os.path.basename(str(i.fspath)) in _VO_FILES]
-    rest = [i for i in items if os.path.basename(str(i.fspath))
-            not in _VO_FILES]
-    if vo and len(rest) > 40:
-        config._compv_deferred_vo = sorted({str(i.fspath) for i in vo})
-        items[:] = rest
+    launcher = "test_zzz_isolated.py"
+    by_file = {}
+    for i in items:
+        by_file.setdefault(os.path.basename(str(i.fspath)), []).append(i)
+    if launcher not in by_file or len(items) <= 40:
+        return  # targeted session: run in-process
+    pinned = {f for g in _PINNED_GROUPS for f in g}
+    groups = [list(g) for g in _PINNED_GROUPS
+              if any(f in by_file for f in g)]
+    rest = sorted(f for f in by_file if f != launcher and f not in pinned)
+    groups = [[f for f in g if f in by_file] for g in groups]
+    groups += [rest[i:i + _CHUNK] for i in range(0, len(rest), _CHUNK)]
+    config._compv_isolated_groups = [g for g in groups if g]
+    items[:] = by_file[launcher]
 
 
 import numpy as np
