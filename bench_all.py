@@ -98,9 +98,14 @@ def main():
     v_p = jnp.asarray(rng.integers(0, 256, (h // 2, w // 2), np.uint8))
 
     def bench(fn, base, K1=2, K2=10, trials=4, roll_axis=0, vary="add",
-              min_window_ms=12.0):
+              min_window_ms=12.0, extras=()):
         """Marginal per-call ms inside one scan program; `base` is the
         device input rolled by the scan index for distinct inputs.
+        `extras` are additional inputs passed to fn AFTER base — they MUST
+        ride through here (runtime args, value-varied per iteration), not
+        be closed over: a closed-over device array is (a) a compile-time
+        constant XLA constant-folds/hoists out of the measured loop and
+        (b) the axon dispatch-poison trap (CLAUDE.md gotcha #1).
 
         K2 grows adaptively until the marginal window t(K2)-t(K1) clears
         `min_window_ms`: the tunnel's bursty dispatch latency is ~1-3 ms,
@@ -110,20 +115,21 @@ def main():
 
         def make(K):
             @jax.jit
-            def run(base):
-                # `base` MUST be a runtime argument: a closed-over device
+            def run(base, *extras):
+                # inputs MUST be runtime arguments: a closed-over device
                 # array is a compile-time constant and XLA constant-folds
                 # the whole zero-argument program during compilation
                 # (elementwise ops then "run" in 0 ms)
                 def body(c, i):
-                    # the input must change VALUE per iteration, not just
+                    # every input must change VALUE per iteration, not just
                     # permute: XLA knows sum(f(roll(x))) is loop-invariant
                     # for elementwise f and hoists the whole body (reads
                     # 0 ms); adding i defeats that
                     v = jnp.roll(base, i * 7 + 1, axis=roll_axis)
                     if vary == "add":
                         v = v + i.astype(base.dtype)
-                    out = fn(v)
+                    ex = tuple(e + i.astype(e.dtype) for e in extras)
+                    out = fn(v, *ex)
                     # reduce over EVERY output element: a [0]-element probe
                     # lets XLA dead-code-eliminate the op body (elementwise
                     # ops then "run" in 0 ms — computing exactly one pixel)
@@ -140,16 +146,16 @@ def main():
             best = 1e9
             for _ in range(trials):
                 t0 = time.perf_counter()
-                float(r(base))    # value fetch — block_until_ready does
-                best = min(best, time.perf_counter() - t0)    # NOT block
+                float(r(base, *extras))   # value fetch — block_until_ready
+                best = min(best, time.perf_counter() - t0)  # does NOT block
             return best          # on the axon tunnel (round-2 finding)
 
         r1 = make(K1)
-        float(r1(base))          # warm compile
+        float(r1(base, *extras))          # warm compile
         t1 = tmin(r1)
         while True:
             r2 = make(K2)
-            float(r2(base))
+            float(r2(base, *extras))
             t2 = tmin(r2)
             if (t2 - t1) * 1e3 >= min_window_ms or K2 >= 4096:
                 break
@@ -171,11 +177,11 @@ def main():
     results["rgb24_to_gray"] = (
         bench(color.rgb_to_gray, rgb, K2=80), 4 * HW, 0)
     results["yuv420_to_rgb"] = (
-        bench(lambda y: color.yuv420_to_rgb(y, u_p, v_p), y_p, K2=80),
+        bench(color.yuv420_to_rgb, y_p, K2=80, extras=(u_p, v_p)),
         4.5 * HW, 0)
     results["rgb_to_hsv"] = (bench(color.rgb_to_hsv, rgb, K2=80), 6 * HW, 0)
     results["yuv420_to_hsv"] = (
-        bench(lambda y: color.yuv420_to_hsv(y, u_p, v_p), y_p, K2=80),
+        bench(color.yuv420_to_hsv, y_p, K2=80, extras=(u_p, v_p)),
         4.5 * HW, 0)
     results["split_rgb"] = (
         bench(color.split_channels, rgb, K2=80), 6 * HW, 0)
@@ -203,11 +209,11 @@ def main():
                      .astype(np.uint32))
     qb = jnp.asarray(rng.integers(0, 2 ** 32, (258, 8), np.uint64)
                      .astype(np.uint32))
-    tr = Descriptors(bits=tb, count=jnp.asarray(200, jnp.int32))
     results["match_knn2_200"] = (
-        bench(lambda q: bruteforce.match(
-            Descriptors(bits=q, count=jnp.asarray(258, jnp.int32)), tr,
-            knn=2), qb, K2=80),
+        bench(lambda q, t: bruteforce.match(
+            Descriptors(bits=q, count=jnp.int32(258)),
+            Descriptors(bits=t, count=jnp.int32(200)), knn=2),
+            qb, K2=80, extras=(tb,)),
         (258 + 200) * 32, 2 * 258 * 200 * 256)
 
     results["canny"] = (
@@ -254,12 +260,12 @@ def main():
     from compv_tpu.features.orb import orb_detect_describe
     orb_cfg = OrbConfig(levels=8, max_features=2000)
     orb_ms = bench(lambda x: orb_detect_describe(x, orb_cfg), gray)
-    d2k = Descriptors(bits=jnp.asarray(
-        rng.integers(0, 2 ** 32, (2000, 8), np.uint64).astype(np.uint32)),
-        count=jnp.asarray(2000, jnp.int32))
-    m2k_ms = bench(lambda q: bruteforce.match(
-        Descriptors(bits=q, count=jnp.asarray(2000, jnp.int32)), d2k,
-        knn=2), d2k.bits)
+    d2k_bits = jnp.asarray(
+        rng.integers(0, 2 ** 32, (2000, 8), np.uint64).astype(np.uint32))
+    m2k_ms = bench(lambda q, t: bruteforce.match(
+        Descriptors(bits=q, count=jnp.int32(2000)),
+        Descriptors(bits=t, count=jnp.int32(2000)), knn=2),
+        d2k_bits, extras=(d2k_bits,))
     print("# pipeline (no reference number):")
     print(f"{'orb_hd_8lvl_2000f':<18}{orb_ms:>10.4f} ms "
           f"({1e3 / max(orb_ms, 1e-9):>9.0f} fps)")

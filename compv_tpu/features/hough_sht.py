@@ -29,23 +29,32 @@ def select_peaks(acc_nms: jax.Array, max_lines: int, cap: int = 4096):
 
     lax.top_k over the full (n_rho * n_theta) grid is a full sort (trap:
     ~ms at 0.5M cells); NMS+threshold leave FEW peaks, so compact the
-    nonzeros (butterfly, ops/compaction.py) and top_k the capacity buffer.
-    If more than `cap` cells survive NMS+threshold the weakest overflow is
-    dropped in scan order — matching the reference's collect-then-sort
-    only up to capacity (houghsht.cxx collects all, but >4096 surviving
-    peaks means the threshold is degenerate)."""
+    nonzeros (butterfly, ops/compaction.py) and top_k the capacity
+    buffer.  If more than `cap` cells survive (degenerate threshold on a
+    busy edge map), a lax.cond falls back to the exact full-grid top_k so
+    a strong late-scan peak is never dropped — the slow path costs only
+    compile time when untaken."""
     n_rho, n_theta = acc_nms.shape
     cap = min(cap, acc_nms.size)
     flat_idx = (jax.lax.broadcasted_iota(jnp.int32, acc_nms.shape, 0)
                 * n_theta
                 + jax.lax.broadcasted_iota(jnp.int32, acc_nms.shape, 1))
-    (v, i), ok, _ = compaction.compact(
+    (v, i), ok, total = compaction.compact(
         acc_nms > 0, (acc_nms, flat_idx), cap)
     v = jnp.where(ok, v, 0)
     i = jnp.where(ok, i, 0)
     k = min(max_lines, cap)
-    vals, pos = jax.lax.top_k(v.astype(jnp.float32), k)
-    idx = i[pos]
+
+    def compacted(_):
+        vals, pos = jax.lax.top_k(v.astype(jnp.float32), k)
+        return vals, i[pos]
+
+    def full_grid(_):
+        vals, idx = jax.lax.top_k(
+            acc_nms.reshape(-1).astype(jnp.float32), k)
+        return vals, idx.astype(i.dtype)
+
+    vals, idx = jax.lax.cond(total <= cap, compacted, full_grid, None)
     if k < max_lines:
         vals = jnp.pad(vals, (0, max_lines - k))
         idx = jnp.pad(idx, (0, max_lines - k))

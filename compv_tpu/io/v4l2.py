@@ -289,11 +289,14 @@ class V4L2Camera:
 
     def _shape(self, raw: np.ndarray) -> np.ndarray:
         h, w = self.height, self.width
-        if self.pixel_format in ("YUYV", "UYVY"):
-            return raw[: h * w * 2].reshape(h, w, 2)
-        if self.pixel_format == "RGB3":
-            return raw[: h * w * 3].reshape(h, w, 3)
-        return raw[: h * w].reshape(h, w)
+        bpp = {"YUYV": 2, "UYVY": 2, "RGB3": 3}.get(self.pixel_format, 1)
+        # the driver may grant a padded row stride (bytesperline > w*bpp,
+        # legal per the V4L2 ABI): slice rows at the stride before packing
+        stride = self.bytesperline or w * bpp
+        rows = raw[: h * stride].reshape(h, stride)[:, : w * bpp]
+        if bpp == 1:
+            return np.ascontiguousarray(rows)
+        return np.ascontiguousarray(rows.reshape(h, w, bpp))
 
     def frames(self):
         """Endless frame generator (drops timeouts)."""

@@ -458,7 +458,6 @@ class VisualOdometry:
         self._hist = None
         self._hist_n = 0
         self.max_keyframes = 256
-        self.keyframe_every = 5
         self.pnp_retries = 3
 
     # ------------------------------------------------------------- helpers
@@ -741,6 +740,9 @@ class VisualOdometry:
                 obs_ids = ti          # retry path: ratio-test landmark ids
                 if int(num_inl) >= self.config.min_track_inliers:
                     pose_d = res.pose
+                    # the purest set is now the ACCEPTED retry's inliers;
+                    # pure_d still holds the rejected first solve's
+                    pure_d = res.inlier_mask & good_d
                     break
             else:
                 return self._essential_fallback(

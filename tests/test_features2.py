@@ -102,6 +102,17 @@ class TestCCL:
         assert int(comps.count) == 1
         assert int(comps.areas[0]) == int((img > 0).sum())
 
+    def test_run_count_reports_truncation(self):
+        # vertical stripes: one run per (row, stripe) = 16*8 = 128 runs
+        img = np.zeros((16, 16), np.uint8)
+        img[:, 0::2] = 255
+        lbl = ccl.label(jnp.asarray(img))
+        full = ccl.extract_components(lbl, 16, max_runs=256)
+        assert int(full.run_count) == 128      # fits: stats exact
+        cut = ccl.extract_components(lbl, 16, max_runs=64)
+        assert int(cut.run_count) == 128       # true count survives the cap
+        assert int(cut.run_count) > 64         # caller can detect the drop
+
     def test_centroids(self):
         img = np.zeros((16, 16), np.uint8)
         img[4:8, 6:10] = 255

@@ -164,7 +164,6 @@ class TestCheckpoint:
             ba=BAConfig(max_iters=2), orb=OrbConfig(levels=2,
                                                     max_features=256))
         odo = vo.VisualOdometry(intr, cfg)
-        odo.keyframe_every = 2
         assert odo.initialize(frames[0], frames[1])
         assert odo.track(frames[2])
         p = str(tmp_path / "vo_resume.npz")

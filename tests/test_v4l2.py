@@ -40,6 +40,34 @@ class TestABI:
         assert ctypes.sizeof(v4l2.v4l2_buffer) == 88
 
 
+class TestShape:
+    def _cam(self, fmt, bytesperline, w=8, h=4):
+        cam = v4l2.V4L2Camera.__new__(v4l2.V4L2Camera)
+        cam.pixel_format = fmt
+        cam.width, cam.height = w, h
+        cam.bytesperline = bytesperline
+        return cam
+
+    def test_padded_stride_yuyv(self):
+        import numpy as np
+        w, h, stride = 8, 4, 24   # driver grants 24 > w*2=16 (row padding)
+        cam = self._cam("YUYV", stride, w, h)
+        raw = np.arange(h * stride, dtype=np.uint8)
+        out = cam._shape(raw)
+        assert out.shape == (h, w, 2)
+        # row r must start at r*stride, not r*w*2
+        assert out[1, 0, 0] == stride
+        assert out[3, 7, 1] == 3 * stride + 15
+
+    def test_tight_stride_grey(self):
+        import numpy as np
+        cam = self._cam("GREY", 0)   # bytesperline 0: fall back to w*bpp
+        raw = np.arange(4 * 8, dtype=np.uint8)
+        out = cam._shape(raw)
+        assert out.shape == (4, 8)
+        assert out[2, 3] == 2 * 8 + 3
+
+
 class TestGraceful:
     def test_missing_device_raises(self):
         with pytest.raises(FileNotFoundError):
