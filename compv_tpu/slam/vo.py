@@ -958,6 +958,60 @@ class VisualOdometry:
         return self.optimize_posegraph(
             loop_edges=[(fidx_old, cur_idx, z, weight)], iters=iters)
 
+    def relocalize(self, img, min_matches: int = 25,
+                   min_inliers: int = 15) -> bool:
+        """Global relocalization after tracking loss — the kidnapped-camera
+        case that neither track()'s guided matching nor the essential
+        fallback handles (both only look at the LAST keyframe).
+
+        ORB the frame, score its descriptors against the whole
+        device-resident keyframe history in one batched program
+        (_loop_scores), then PnP the keypoints against the best candidate
+        keyframes' landmarks (_loop_edge_compute — the landmarks live in
+        the map gauge, so the recovered pose carries consistent monocular
+        scale). On success the frame joins the trajectory, its map
+        re-observations are logged for BA, and it becomes the current
+        keyframe so track() resumes normally.
+
+        Beyond-reference capability (the reference has no SLAM layer;
+        SURVEY §7 steps 5-6)."""
+        if not self._initialized or self._hist is None or self._hist_n == 0:
+            return False
+        cap = self.config.max_obs_per_frame
+        p, d = orb_detect_describe(jnp.asarray(img), self.config.orb)
+        xy_h, bits_h, n_kp = jax.device_get((p.xy, d.bits, p.count))
+        n = min(int(n_kp), cap)
+        uv_p, _ = self._pad_rows(np.asarray(xy_h, np.float32)[:n], cap)
+        bits_p, _ = self._pad_rows(np.asarray(bits_h)[:n], cap)
+        bits_d = jnp.asarray(bits_p)
+        uv_d = jnp.asarray(uv_p, jnp.float32)
+        n_d = jnp.asarray(n, jnp.int32)
+        scores = np.asarray(jax.device_get(_loop_scores(
+            bits_d, n_d, self._hist["bits"], self._hist["count"],
+            self.config.match_ratio)))[: self._hist_n]
+        # try the best few candidates (a wrong retrieval fails PnP cheaply)
+        for k in np.argsort(scores)[::-1][:3]:
+            if scores[k] < min_matches:
+                break
+            pose_j, ninl = jax.device_get(_loop_edge_compute(
+                bits_d, uv_d, n_d, self._hist,
+                jnp.asarray(int(k), jnp.int32), self.map.points,
+                self._split(), self.intr, self.config))
+            if int(ninl) < min_inliers or not np.isfinite(pose_j).all():
+                continue
+            pose = np.asarray(pose_j, np.float32)
+            self.trajectory.append(pose)
+            fidx = len(self.trajectory) - 1
+            obs_mask, obs_ti = jax.device_get(_reobserve(
+                jnp.asarray(pose), self.map.points, self.map.desc,
+                self.map.count, uv_d, bits_d, n_d, self.intr,
+                self.config))
+            for i in np.flatnonzero(obs_mask):
+                self._obs.append((fidx, int(obs_ti[i]), uv_p[i]))
+            self._last_kf = (pose, uv_p, bits_p, n, fidx)
+            return True
+        return False
+
     def optimize_posegraph(self, loop_edges=None, iters: int = 30) -> bool:
         """Global trajectory refinement over sequential odometry edges plus
         optional loop-closure constraints [(i, j, z_ij (6,), weight)], using

@@ -96,6 +96,38 @@ class TestVOLong:
         tracked = (n - 3) - len(fails)
         assert tracked >= 0.6 * (n - 3), (tracked, fails)
 
+    def test_relocalize_after_kidnap(self):
+        """Kidnapped-camera recovery: after tracking far from the start,
+        a frame from the already-visited start region relocalizes against
+        the keyframe HISTORY (not the current keyframe), lands near the
+        earlier pose estimate in the same gauge, and tracking resumes."""
+        n = 48
+        frames, gt_pos, gt_pose, (fx, fy, cx, cy) = \
+            datasets.render_trajectory_sequence(
+                n_frames=n, h=160, w=224, seed=5, turn=(0, 0, 0.0))
+        odo = vo.VisualOdometry(camera.Intrinsics.make(fx, fy, cx, cy),
+                                _cfg())
+        assert odo.initialize(frames[0], frames[2])
+        fails = _track_all(odo, frames)
+        assert odo._hist_n >= 2, "needs a keyframe history to retrieve from"
+        # the revisited view: frame 4 (tracked near the start of the run)
+        revisit = 4
+        assert revisit not in fails
+        # trajectory index of that frame: [f0, f2, f3, f4, ...] minus fails
+        tracked_frames = [0, 2] + [f for f in range(3, n)
+                                   if f not in set(fails)]
+        old_idx = tracked_frames.index(revisit)
+        old_center = odo.positions()[old_idx]
+        assert odo.relocalize(frames[revisit], min_matches=20,
+                              min_inliers=12), "relocalization failed"
+        new_center = odo.positions()[-1]
+        # same map gauge -> direct comparison; scene depth is ~1 (median
+        # normalized at init), so 0.2 is a tight bound
+        err = float(np.linalg.norm(new_center - old_center))
+        assert err < 0.2, err
+        # tracking resumes from the relocalized keyframe
+        assert odo.track(frames[revisit + 1])
+
     def test_closed_loop_detect_and_close(self):
         """Full circle back to the start: the loop is detected from
         descriptors alone, the loop pose is estimated by PnP against the
