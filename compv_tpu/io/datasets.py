@@ -68,6 +68,19 @@ def kitti_frame_paths(seq_dir: str, cam: int = 0) -> List[str]:
             if n.endswith(".png")]
 
 
+def load_kitti_calib(seq_dir: str, cam: int = 0
+                     ) -> Tuple[float, float, float, float]:
+    """(fx, fy, cx, cy) from the sequence's calib.txt: the `P<cam>:` row
+    holds the 3x4 projection matrix row-major (fx at [0,0], cx at [0,2],
+    fy at [1,1], cy at [1,2])."""
+    with open(os.path.join(seq_dir, "calib.txt")) as f:
+        for line in f:
+            if line.startswith(f"P{cam}:"):
+                v = [float(x) for x in line.split()[1:]]
+                return v[0], v[5], v[2], v[6]
+    raise ValueError(f"no P{cam} row in {seq_dir}/calib.txt")
+
+
 def _yaw_rotation(theta: float) -> np.ndarray:
     """World->cam rotation for a camera yawed by theta about world Y
     (x right, y down, z forward)."""

@@ -105,8 +105,54 @@ def run_tum(seq_dir, n_frames=50, config=None):
     return err
 
 
+def run_kitti(seq_dir, n_frames=50, config=None, poses_path=None):
+    """KITTI odometry sequence: image_0/ grayscale PNGs + calib.txt;
+    ground-truth poses from `poses_path` (or <seq_dir>/poses.txt) when
+    present — without them the run reports tracked fraction only."""
+    paths = datasets.kitti_frame_paths(seq_dir)[:n_frames]
+    fx, fy, cx, cy = datasets.load_kitti_calib(seq_dir)
+    intr = camera.Intrinsics.make(fx, fy, cx, cy)
+    odo = vo.VisualOdometry(intr, config) if config else \
+        vo.VisualOdometry(intr)
+    imgs = [image_io.imread(p, gray=True) for p in paths]
+    viewer = _maybe_viewer()
+    ok = odo.initialize(imgs[0], imgs[1])
+    print("init:", ok)
+    tracked_frames = [0, 1]
+    for f in range(2, len(imgs)):
+        if odo.track(imgs[f]):
+            tracked_frames.append(f)
+        if f % 8 == 0:
+            odo.refine()
+        if viewer is not None:
+            viewer.show(imgs[f], trajectory=np.asarray(odo.positions()),
+                        text=f"frame {f}")
+    import dataclasses
+    from compv_tpu.core.config import BAConfig
+    odo.config = dataclasses.replace(odo.config, ba=BAConfig(max_iters=40))
+    odo.refine(window=len(odo.trajectory))
+    est = odo.positions()
+    print(f"tracked {len(tracked_frames)}/{len(imgs)} frames")
+    poses_path = poses_path or os.path.join(seq_dir, "poses.txt")
+    if os.path.exists(poses_path):
+        gt_pos = datasets.load_kitti_poses(poses_path)
+        gt = gt_pos[tracked_frames][:len(est)]
+        err = vo.ate_rmse(est, gt)
+        print(f"KITTI ATE RMSE (scale-aligned, {len(est)} frames): "
+              f"{err:.4f} m")
+        image_io.imwrite("trajectory.png", viz.draw_trajectory(est, gt=gt))
+        return err
+    image_io.imwrite("trajectory.png", viz.draw_trajectory(est))
+    return None
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]):
-        run_tum(sys.argv[1], int(sys.argv[2]) if len(sys.argv) > 2 else 50)
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+        # KITTI sequences have image_0/; TUM sequences have rgb.txt
+        if os.path.isdir(os.path.join(sys.argv[1], "image_0")):
+            run_kitti(sys.argv[1], n)
+        else:
+            run_tum(sys.argv[1], n)
     else:
         run_synthetic()

@@ -49,7 +49,8 @@ _INNER_ENV = "COMPV_ISOLATED_INNER"
 # programs (an all-VO process crashed at its 14th big compile), so it is
 # split in two; everything else is chunked alphabetically.
 _PINNED_GROUPS = (("test_vo.py", "test_vo_geometry.py"),
-                  ("test_vo_long.py", "test_tum_e2e.py"))
+                  ("test_vo_long.py", "test_tum_e2e.py"),
+                  ("test_kitti_e2e.py",))
 _CHUNK = 3  # unpinned modules per subprocess group
 
 
