@@ -12,12 +12,23 @@ descriptors are not bit-compatible with the reference's (its MD5 oracle
 depends on its table; parity is checked statistically in tests instead).
 
 TPU formulation: rotation is a (256, 2) @ (2, 2) matmul batched over points;
-sampling is one vectorized gather; comparison+packing is a VPU pass. No
-per-point loops.
+sampling has two interchangeable (bit-exact) backends:
+  - "gather": one vectorized image gather (N*bits*2 scalar loads — the
+    XLA-TPU scatter/gather unit runs ~6 ns/element, so ~2k points cost
+    milliseconds; fine on CPU);
+  - "patch": per-point 48x48 patch extraction (one gather of CONTIGUOUS
+    2-D blocks — DMA-shaped, not scalar loads) followed by separable
+    one-hot sampling on the MXU:  val[n,b] = e_y(n,b)ᵀ · P(n) · e_x(n,b)
+    as two einsums in bf16 (u8 pixels and 0/1 indicators are exact in
+    bf16; exactly one product survives per sample, so f32 accumulation is
+    exact and the comparison is bit-identical to the gather path).
+Selection: COMPV_TPU_BRIEF=gather|patch overrides; default is "patch" on
+TPU, "gather" elsewhere.  Comparison+packing is a VPU pass either way.
 """
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -54,9 +65,59 @@ def _pack_bits(cmp: jax.Array) -> jax.Array:
     return jnp.sum(c << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
+_WIN = 48     # patch window: rotated offsets span <= 15*sqrt(2)+1 ~ 22.2
+_HALF = 22    # px each side of round(center); 45 needed, 48 tiles nicely
+
+
+def _sample_patches(img: jax.Array, coords: jax.Array, gxa, gya, gxb, gyb):
+    """Gather-free sampling of global integer coords (N, bits) for the A
+    and B pattern points: extract one 48x48 patch per point (contiguous-
+    block gather), then read each sample with separable one-hot matmuls.
+    Returns (val_a, val_b) int32, bit-identical to img[gy, gx]."""
+    h, w = img.shape
+    n = coords.shape[0]
+    # pad with edge values so clipped global coords stay readable from the
+    # patch even when the window hangs off the image
+    pad = jnp.pad(img, ((_HALF + 1, _WIN), (_HALF + 1, _WIN)), mode="edge")
+    cy = jnp.round(coords[:, 1]).astype(jnp.int32)
+    cx = jnp.round(coords[:, 0]).astype(jnp.int32)
+    sy = cy - _HALF            # window origin in image coords
+    sx = cx - _HALF
+    starts = jnp.stack([sy + _HALF + 1, sx + _HALF + 1], axis=1)
+
+    def cut(s):
+        return jax.lax.dynamic_slice(pad, (s[0], s[1]), (_WIN, _WIN))
+
+    patches = jax.vmap(cut)(starts).astype(jnp.bfloat16)   # (N, 48, 48)
+
+    iy = jnp.arange(_WIN, dtype=jnp.int32)
+    gx = jnp.concatenate([gxa, gxb], axis=1)               # (N, 2*bits)
+    gy = jnp.concatenate([gya, gyb], axis=1)
+    # window-local indices of the CLIPPED global coords (always in range:
+    # |g - c| <= 22 pre-clip, and clipping only moves g toward the image
+    # interior, which the window covers around c)
+    ly = jnp.clip(gy - sy[:, None], 0, _WIN - 1)
+    lx = jnp.clip(gx - sx[:, None], 0, _WIN - 1)
+    oh_y = (ly[:, :, None] == iy).astype(jnp.bfloat16)     # (N, 2b, 48)
+    oh_x = (lx[:, :, None] == iy).astype(jnp.bfloat16)
+    rows = jnp.einsum("nbi,nij->nbj", oh_y, patches,
+                      preferred_element_type=jnp.float32)  # (N, 2b, 48)
+    vals = jnp.sum(rows * oh_x.astype(jnp.float32), axis=-1)
+    vals = vals.astype(jnp.int32)                          # exact: u8 one-hot
+    return vals[:, : gxa.shape[1]], vals[:, gxa.shape[1]:]
+
+
+def _brief_method() -> str:
+    m = os.environ.get("COMPV_TPU_BRIEF", "")
+    if m in ("gather", "patch"):
+        return m
+    from ..kernels.dispatch import on_tpu
+    return "patch" if on_tpu() else "gather"
+
+
 def describe(img: jax.Array, points: Points, patch_diameter: int = 31,
              bits: int = 256, seed: int = 0x5EED,
-             xy=None) -> Descriptors:
+             xy=None, method: str | None = None) -> Descriptors:
     """Compute rotated BRIEF descriptors at `points` on (blurred) `img`.
 
     ``xy`` optionally overrides the sampling coordinates (e.g. level-local
@@ -64,6 +125,8 @@ def describe(img: jax.Array, points: Points, patch_diameter: int = 31,
     pattern would leave the image are still sampled with clamped coordinates
     (the reference instead erases near-border points before describing —
     callers replicating that should pre-filter, see orb.py).
+    ``method`` selects the sampling backend ("gather"/"patch", bit-exact
+    equals — see module docstring); default per _brief_method().
     """
     coords = points.xy if xy is None else xy
     pa_np, pb_np = brief_pattern(bits, patch_diameter, seed)
@@ -82,14 +145,19 @@ def describe(img: jax.Array, points: Points, patch_diameter: int = 31,
     rb = jnp.einsum("bk,njk->nbj", pb, rot)
     h, w = img.shape
 
-    def sample(offsets):
+    def gcoords(offsets):
         x = jnp.round(coords[:, None, 0] + offsets[..., 0]).astype(jnp.int32)
         y = jnp.round(coords[:, None, 1] + offsets[..., 1]).astype(jnp.int32)
-        x = jnp.clip(x, 0, w - 1)
-        y = jnp.clip(y, 0, h - 1)
-        return img[y, x].astype(jnp.int32)   # vectorized gather (N, bits)
+        return jnp.clip(x, 0, w - 1), jnp.clip(y, 0, h - 1)
 
-    bits_cmp = sample(ra) < sample(rb)
+    gxa, gya = gcoords(ra)
+    gxb, gyb = gcoords(rb)
+    if (method or _brief_method()) == "patch":
+        va, vb = _sample_patches(img, coords, gxa, gya, gxb, gyb)
+    else:
+        va = img[gya, gxa].astype(jnp.int32)  # vectorized gather (N, bits)
+        vb = img[gyb, gxb].astype(jnp.int32)
+    bits_cmp = va < vb
     packed = _pack_bits(bits_cmp)
     # zero descriptors of padding slots for determinism
     packed = jnp.where(points.valid[:, None], packed, 0)

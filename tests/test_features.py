@@ -89,6 +89,32 @@ class TestBrief:
         np.testing.assert_array_equal(np.asarray(d0.bits), np.asarray(d0b.bits))
 
 
+    def test_patch_method_bit_exact_vs_gather(self, small_image):
+        """The MXU patch-sampling backend must be BIT-identical to the
+        gather backend (module docstring contract), including points whose
+        rotated window hangs off the image border."""
+        img = jnp.asarray(small_image)
+        h, w = small_image.shape
+        rng = np.random.default_rng(11)
+        n = 96
+        xy = np.stack([rng.uniform(0, w - 1, n),
+                       rng.uniform(0, h - 1, n)], 1).astype(np.float32)
+        # force border cases: corners and edge midpoints
+        xy[:8] = [[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1],
+                  [w / 2, 0], [w / 2, h - 1], [0, h / 2], [w - 1, h / 2]]
+        pts = Points(
+            xy=jnp.asarray(xy),
+            strength=jnp.ones((n,), jnp.float32),
+            angle=jnp.asarray(rng.uniform(-np.pi, np.pi, n), jnp.float32),
+            level=jnp.zeros((n,), jnp.int32),
+            size=jnp.full((n,), 7.0, jnp.float32),
+            count=jnp.asarray(n, jnp.int32))
+        dg = brief.describe(img, pts, method="gather")
+        dp = brief.describe(img, pts, method="patch")
+        np.testing.assert_array_equal(np.asarray(dg.bits),
+                                      np.asarray(dp.bits))
+
+
 class TestOrb:
     def test_level_budgets_sum(self):
         budgets = orb.level_budgets(2000, 8, 0.83)
