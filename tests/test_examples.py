@@ -42,3 +42,14 @@ def test_fit_shapes(tmp_path, monkeypatch, capsys):
     # asserts recovered slope/curvature internally
     _run("fit_shapes.py", ["x"], tmp_path, monkeypatch)
     assert (tmp_path / "fit_shapes.png").exists()
+
+
+def test_hough_lines(tmp_path, monkeypatch, capsys):
+    # the KHT return-shape drift broke exactly this script once
+    _run("hough_lines.py", ["x"], tmp_path, monkeypatch)
+    assert (tmp_path / "hough_sht.png").exists()
+    assert (tmp_path / "hough_kht.png").exists()
+    out = capsys.readouterr().out
+    # the synthetic scene has 3 bars; NMS duplicates allowed, zero is not
+    sht_n = int(out.split("sht:")[1].split()[0])
+    assert sht_n >= 3
