@@ -73,6 +73,10 @@ class MSERRegions(NamedTuple):
     variations: jax.Array  # (K,) float32
     valid: jax.Array       # (K,) bool
     count: jax.Array       # () int32
+    roots: jax.Array       # (K,) int32 — region's component root (min
+    #                        linear index) in the labeling of its level's
+    #                        threshold mask; -1 invalid. Feed to
+    #                        mser_region_points for pixel lists.
 
 
 def _component_table(lbl: jax.Array, cap: int, max_runs: int):
@@ -245,7 +249,46 @@ def mser(img: jax.Array, config: MSERConfig = MSERConfig()) -> MSERRegions:
         variations=jnp.where(valid, -vals, jnp.inf),
         valid=valid,
         count=jnp.sum(valid).astype(jnp.int32),
+        roots=jnp.where(valid, root, -1).astype(jnp.int32),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "config"))
+def mser_region_points(img: jax.Array, regions: MSERRegions,
+                       cap: int = 1024,
+                       config: MSERConfig = MSERConfig()):
+    """Per-region pixel lists (reference LMSER result 'points',
+    core/ccl/compv_core_ccl_lmser_result.cxx) at fixed capacity.
+
+    Rebuilds each region's level labeling (label propagation converges to
+    the min-index root regardless of the sweep's warm-start chaining, so
+    roots match the sweep) and left-compacts the member pixels in
+    row-major order. Returns ccl.BlobPoints: xy (K, cap, 2) int32 with
+    (-1,-1) padding, counts (K,) int32 (true size; list truncated at
+    `cap`). Cost: one labeling per region — an on-demand extraction API,
+    like the reference's extract(COMPV_CCL_EXTRACT_TYPE_BLOB)."""
+    from ..ops import compaction
+    h, w = img.shape
+    x = (255 - img) if config.bright_on_dark else img
+
+    def one(level, r):
+        mask = (x <= level).astype(jnp.uint8)
+        lbl = ccl.label(mask, config.connectivity)
+        m = (lbl == r) & (r >= 0)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        (px, py), ok, total = compaction.compact(
+            m, (xs, ys), min(cap, h * w))
+        px = jnp.where(ok, px, -1)
+        py = jnp.where(ok, py, -1)
+        if px.shape[0] < cap:
+            pad = cap - px.shape[0]
+            px = jnp.pad(px, (0, pad), constant_values=-1)
+            py = jnp.pad(py, (0, pad), constant_values=-1)
+        return jnp.stack([px, py], axis=1), total
+
+    xy, counts = jax.vmap(one)(regions.levels, regions.roots)
+    return ccl.BlobPoints(xy=xy, counts=counts.astype(jnp.int32))
 
 
 @register("ccl", "mser")

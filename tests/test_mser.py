@@ -3,7 +3,7 @@ tests with text-like blob images; we use synthetic blobs)."""
 import numpy as np
 import jax.numpy as jnp
 
-from compv_tpu.features.mser import MSERConfig, mser
+from compv_tpu.features.mser import MSERConfig, mser, mser_region_points
 
 
 def _blob_image(h=96, w=128):
@@ -54,3 +54,34 @@ class TestMSER:
                                    max_area=0.9))
         areas = np.asarray(res.areas)[np.asarray(res.valid)]
         assert (areas >= 0.2 * 96 * 128).all() if areas.size else True
+
+    def test_region_points_match_threshold_component(self):
+        """Pixel-list extraction (reference LMSER result 'points'): each
+        extracted list must equal the numpy-thresholded connected
+        component at the region's level/root, row-major sorted."""
+        img_np = _blob_image()
+        cfg = MSERConfig(max_regions=16)
+        res = mser(jnp.asarray(img_np), cfg)
+        n = int(res.count)
+        assert n >= 2
+        pts = mser_region_points(jnp.asarray(img_np), res, cap=2048,
+                                 config=cfg)
+        h, w = img_np.shape
+        levels = np.asarray(res.levels)
+        roots = np.asarray(res.roots)
+        counts = np.asarray(pts.counts)
+        xy = np.asarray(pts.xy)
+        from scipy import ndimage
+        for k in range(n):
+            mask = img_np <= levels[k]
+            lab, _ = ndimage.label(
+                mask, structure=np.ones((3, 3), int))
+            ry, rx = divmod(int(roots[k]), w)
+            comp = lab == lab[ry, rx]
+            assert lab[ry, rx] > 0
+            got = xy[k][: counts[k]]
+            want = np.argwhere(comp)[:, ::-1]       # (y,x)->(x,y)
+            assert counts[k] == comp.sum()
+            # both row-major: argwhere scans rows, compaction scans rows
+            np.testing.assert_array_equal(got, want)
+            assert int(res.areas[k]) == int(comp.sum())
