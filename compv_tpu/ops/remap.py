@@ -7,6 +7,8 @@ samples take `default_pixel`.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +49,91 @@ def remap(img: jax.Array, map_x: jax.Array, map_y: jax.Array,
                + imf[y1, x1] * fy * fx)
 
     out = jnp.where(inside, out, default_pixel)
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        return jnp.clip(jnp.round(out), 0, 255).astype(img.dtype)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("max_displacement", "interp",
+                                             "default_pixel"))
+def remap_bounded(img: jax.Array, map_x: jax.Array, map_y: jax.Array,
+                  max_displacement: int,
+                  interp: Interp = Interp.BILINEAR,
+                  default_pixel: float = 0.0) -> jax.Array:
+    """Gather-free remap for maps with BOUNDED displacement
+    (|map_x - x| <= D and |map_y - y| <= D for every output pixel) — the
+    undistortion / lens-correction / small-warp class. Same semantics as
+    `remap` on such maps (float arithmetic reassociates; u8 outputs can
+    differ by 1 gray level on exact .5 boundaries).
+
+    Why: `remap` issues 4 scalar gathers per pixel; the XLA-TPU
+    scatter/gather unit runs ~6 ns/element (measured in-repo), putting an
+    HD bilinear remap at ~20 ms. Here the output is cut into (8, 128)
+    tiles; each tile loads its statically-sized input window (contiguous-
+    block slice, DMA-shaped) and evaluates the bilinear sample as a
+    separable 2-hot contraction on the MXU:
+        out(p) = w_y(p)ᵀ · W · w_x(p)
+    where w_y/w_x carry the (1-f, f) bilinear weights at the two adjacent
+    rows/cols — one (P, WH)x(WH, WW) matmul + a weighted row reduce per
+    tile, batched over tiles with vmap.
+
+    Pixels whose true source falls outside the window (caller violated
+    the bound) clamp to the window edge; out-of-image sources yield
+    `default_pixel`, like `remap`."""
+    h, w = img.shape
+    oh, ow = map_x.shape
+    d = int(max_displacement)
+    th, tw = 8, 128
+    gh, gw = -(-oh // th), -(-ow // tw)
+    wh, ww_ = th + 2 * d + 2, tw + 2 * d + 2
+    imf = img.astype(jnp.float32)
+    # pad so every tile window slices in-bounds: left/top d+1, right/bottom
+    # window overhang (tile grid may also overhang the output edge)
+    pad_y = gh * th + d + 2
+    pad_x = gw * tw + d + 2
+    pimg = jnp.pad(imf, ((d + 1, max(pad_y - h, 1)),
+                         (d + 1, max(pad_x - w, 1))), mode="edge")
+    mxp = jnp.pad(map_x.astype(jnp.float32),
+                  ((0, gh * th - oh), (0, gw * tw - ow)))
+    myp = jnp.pad(map_y.astype(jnp.float32),
+                  ((0, gh * th - oh), (0, gw * tw - ow)))
+    inside = ((mxp >= 0) & (mxp <= w - 1) & (myp >= 0) & (myp <= h - 1))
+    # tile-major layout: (gh, gw, th, tw)
+    t_mx = mxp.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3)
+    t_my = myp.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3)
+    t_in = inside.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3)
+
+    ty0 = (jnp.arange(gh, dtype=jnp.int32) * th)[:, None]
+    tx0 = (jnp.arange(gw, dtype=jnp.int32) * tw)[None, :]
+    oy = jnp.broadcast_to(ty0, (gh, gw))
+    ox = jnp.broadcast_to(tx0, (gh, gw))
+
+    def tile(mx, my, y0, x0):
+        # window origin in image coords: (y0 - d, x0 - d); in padded
+        # coords add d+1
+        win = jax.lax.dynamic_slice(pimg, (y0 + 1, x0 + 1), (wh, ww_))
+        ly = jnp.clip(my - (y0 - d), 0.0, wh - 1.0).reshape(-1)
+        lx = jnp.clip(mx - (x0 - d), 0.0, ww_ - 1.0).reshape(-1)
+        if interp == Interp.NEAREST:
+            yi = jnp.round(ly).astype(jnp.int32)[:, None]
+            xi = jnp.round(lx).astype(jnp.int32)[:, None]
+            ohy = (yi == jnp.arange(wh)).astype(jnp.float32)
+            ohx = (xi == jnp.arange(ww_)).astype(jnp.float32)
+        else:
+            y0i = jnp.floor(ly).astype(jnp.int32)[:, None]
+            x0i = jnp.floor(lx).astype(jnp.int32)[:, None]
+            fy = (ly - jnp.floor(ly))[:, None]
+            fx = (lx - jnp.floor(lx))[:, None]
+            ay = jnp.arange(wh, dtype=jnp.int32)
+            ax = jnp.arange(ww_, dtype=jnp.int32)
+            ohy = ((ay == y0i) * (1.0 - fy) + (ay == y0i + 1) * fy)
+            ohx = ((ax == x0i) * (1.0 - fx) + (ax == x0i + 1) * fx)
+        rows = ohy @ win                       # (P, WW)
+        return jnp.sum(rows * ohx, axis=-1).reshape(th, tw)
+
+    out = jax.vmap(jax.vmap(tile))(t_mx, t_my, oy, ox)
+    out = jnp.where(t_in, out, default_pixel)
+    out = out.transpose(0, 2, 1, 3).reshape(gh * th, gw * tw)[:oh, :ow]
     if jnp.issubdtype(img.dtype, jnp.integer):
         return jnp.clip(jnp.round(out), 0, 255).astype(img.dtype)
     return out

@@ -242,3 +242,46 @@ class TestRemap:
         m = jnp.asarray([[1.0, 0.0, 5.0], [0.0, 1.0, 0.0]], jnp.float32)
         out = np.asarray(remap.warp_affine_inverse(jnp.asarray(gray_image), m, h, w))
         np.testing.assert_array_equal(out[:, : w - 5 - 1], gray_image[:, 5: w - 1])
+
+    def test_remap_bounded_matches_remap(self, gray_image):
+        """The tiled MXU remap must match the gather remap on an
+        undistortion-shaped map (u8 rounding can differ by 1 on exact .5
+        boundaries; nearest must be exact)."""
+        h, w = gray_image.shape
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        cx, cy = w / 2, h / 2
+        r2 = ((xx - cx) / cx) ** 2 + ((yy - cy) / cy) ** 2
+        mx = (xx + (xx - cx) * -0.05 * r2).astype(np.float32)
+        my = (yy + (yy - cy) * -0.05 * r2).astype(np.float32)
+        d = int(np.ceil(max(np.abs(mx - xx).max(), np.abs(my - yy).max())))
+        img = jnp.asarray(gray_image)
+        for interp in (remap.Interp.BILINEAR, remap.Interp.NEAREST):
+            a = np.asarray(remap.remap(img, jnp.asarray(mx),
+                                       jnp.asarray(my), interp=interp))
+            b = np.asarray(remap.remap_bounded(
+                img, jnp.asarray(mx), jnp.asarray(my), max_displacement=d,
+                interp=interp))
+            if interp == remap.Interp.NEAREST:
+                np.testing.assert_array_equal(a, b)
+            else:
+                assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+                # and almost all pixels identical
+                assert (a == b).mean() > 0.99
+
+    def test_remap_bounded_default_and_float(self, gray_image):
+        """Out-of-image sources yield default_pixel; float images skip the
+        u8 rounding and match remap to fp tolerance."""
+        h, w = gray_image.shape
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        mx = xx + 3.25
+        my = yy.copy()
+        mx[0, :] = -50.0     # off-image row -> default
+        img_f = jnp.asarray(gray_image.astype(np.float32))
+        a = np.asarray(remap.remap(img_f, jnp.asarray(mx), jnp.asarray(my),
+                                   default_pixel=9.0))
+        b = np.asarray(remap.remap_bounded(img_f, jnp.asarray(mx),
+                                           jnp.asarray(my),
+                                           max_displacement=4,
+                                           default_pixel=9.0))
+        np.testing.assert_allclose(a, b, atol=1e-3)
+        assert (b[0] == 9.0).all()
