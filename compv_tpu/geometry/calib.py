@@ -160,6 +160,41 @@ def undistort_image(img: jax.Array, intr: Intrinsics) -> jax.Array:
     return remap(img, map_x, map_y)
 
 
+def build_undistorter(intr: Intrinsics, h: int, w: int,
+                      method: str = "auto"):
+    """Precompute the undistortion maps ONCE and return a jitted
+    per-frame closure — the production per-frame path (the reference
+    likewise splits initUndistMap from undist2DImage).
+
+    method: "gather" (ops.remap.remap), "bounded" (ops.remap.remap_bounded
+    — tiled MXU sampling, needs the map's displacement bound, computed
+    here from the maps), or "auto" (bounded on TPU, gather elsewhere)."""
+    from ..kernels.dispatch import on_tpu
+    from ..ops import remap as remap_mod
+    map_x, map_y = undistort_maps(intr, h, w)
+    if method == "auto":
+        method = "bounded" if on_tpu() else "gather"
+    # maps ride as ARGUMENTS, never as jit-closure captures: a captured
+    # eagerly-created device array permanently poisons axon dispatch
+    # (CLAUDE.md gotcha #1) and becomes an XLA compile-time constant
+    if method == "bounded":
+        ys, xs = np.mgrid[0:h, 0:w]
+        dmax = int(np.ceil(max(
+            np.abs(np.asarray(map_x) - xs).max(),
+            np.abs(np.asarray(map_y) - ys).max()))) + 1
+
+        def run(img):
+            return remap_mod.remap_bounded(img, map_x, map_y,
+                                           max_displacement=dmax)
+        return run
+
+    jitted = jax.jit(lambda im, mx, my: remap_mod.remap(im, mx, my))
+
+    def run(img):
+        return jitted(img, map_x, map_y)
+    return run
+
+
 def chessboard_corners_from_lines(rho: np.ndarray, theta: np.ndarray,
                                   n_rows: int, n_cols: int):
     """Host-side helper: group Hough lines into two orthogonal families by

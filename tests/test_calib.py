@@ -85,6 +85,20 @@ class TestZhang:
         np.testing.assert_allclose(np.asarray(mx), xs, atol=1e-4)
         np.testing.assert_allclose(np.asarray(my), ys, atol=1e-4)
 
+    def test_build_undistorter_methods_agree(self):
+        """The precompiled per-frame undistorter must give the same frame
+        for both sampling backends (within 1 u8 level) and match the
+        one-shot undistort_image."""
+        intr = camera.Intrinsics.make(
+            120.0, 120.0, 40.0, 28.0, k1=-0.15, k2=0.02)
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.integers(0, 256, (56, 80), np.uint8))
+        one_shot = np.asarray(calib.undistort_image(img, intr))
+        for method in ("gather", "bounded"):
+            run = calib.build_undistorter(intr, 56, 80, method=method)
+            out = np.asarray(run(img))
+            assert np.abs(out.astype(int) - one_shot.astype(int)).max() <= 1
+
 
 class TestChessboardFromLines:
     def test_grid_intersections(self):
