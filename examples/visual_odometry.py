@@ -82,7 +82,7 @@ def run_tum(seq_dir, n_frames=50, config=None):
     print("init:", ok)
     tracked_frames = [0, 1]
     for f in range(2, len(imgs)):
-        if odo.track(imgs[f]):
+        if odo.track(imgs[f]) or odo.relocalize(imgs[f]):
             tracked_frames.append(f)
         if f % 8 == 0:
             odo.refine()          # windowed bundle adjustment
@@ -120,7 +120,7 @@ def run_kitti(seq_dir, n_frames=50, config=None, poses_path=None):
     print("init:", ok)
     tracked_frames = [0, 1]
     for f in range(2, len(imgs)):
-        if odo.track(imgs[f]):
+        if odo.track(imgs[f]) or odo.relocalize(imgs[f]):
             tracked_frames.append(f)
         if f % 8 == 0:
             odo.refine()
