@@ -81,12 +81,21 @@ def orb_detect_describe(img: jax.Array, config: OrbConfig = OrbConfig()
 
     all_pts: List[Points] = []
     all_desc: List[jax.Array] = []
+    from ..kernels.dispatch import pallas_enabled
     for lv in range(levels):
         level_img = pyr[lv]
         h, w = level_img.shape
-        s = fast_strengths(level_img, config.fast.threshold, n)
-        if config.fast.nonmax_suppression:
-            s = fast_nms(s)
+        if pallas_enabled():
+            # the fused strengths+NMS kernel (one HBM pass per level);
+            # bit-identical to the jnp formulation below (kernel tests)
+            from ..kernels.fast_kernel import fast_strengths_vmappable
+            s = fast_strengths_vmappable(
+                config.fast.threshold, n,
+                config.fast.nonmax_suppression)(level_img)
+        else:
+            s = fast_strengths(level_img, config.fast.threshold, n)
+            if config.fast.nonmax_suppression:
+                s = fast_nms(s)
         pts = strengths_to_points(
             s, budgets[lv], level=lv,
             size=config.patch_diameter / (sf ** lv),

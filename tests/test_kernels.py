@@ -173,6 +173,36 @@ class TestMorphKernel:
                                               np.asarray(want))
 
 
+class TestOrbPallasRoute:
+    def test_orb_identical_with_and_without_pallas(self, rng):
+        """ORB now routes its per-level strengths+NMS through the fused
+        Pallas kernel; the full frontend output (points AND packed
+        descriptors) must be bit-identical to the jnp route."""
+        from compv_tpu.core.config import OrbConfig
+        from compv_tpu.features import orb as orb_mod
+        h, w = 94, 137      # unique unaligned shape -> fresh traces
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = jnp.asarray(np.clip(
+            96 + 80 * ((xx // 9 + yy // 9) % 2)
+            + rng.normal(0, 8, (h, w)), 0, 255).astype(np.uint8))
+        cfg = OrbConfig(levels=2, max_features=97)
+        old = os.environ["COMPV_TPU_PALLAS"]   # "interpret" (module fixture)
+        orb_mod.orb_detect_describe.clear_cache()
+        p_int, d_int = orb_mod.orb_detect_describe(img, cfg)
+        try:
+            os.environ["COMPV_TPU_PALLAS"] = "0"
+            orb_mod.orb_detect_describe.clear_cache()
+            p_jnp, d_jnp = orb_mod.orb_detect_describe(img, cfg)
+        finally:
+            os.environ["COMPV_TPU_PALLAS"] = old
+            orb_mod.orb_detect_describe.clear_cache()
+        assert int(p_int.count) == int(p_jnp.count)
+        np.testing.assert_array_equal(np.asarray(p_int.xy),
+                                      np.asarray(p_jnp.xy))
+        np.testing.assert_array_equal(np.asarray(d_int.bits),
+                                      np.asarray(d_jnp.bits))
+
+
 class TestBatchedConv:
     def test_batched_matches_per_image(self, rng):
         imgs = jnp.asarray(rng.integers(0, 256, (3, 40, 70), np.uint8))
