@@ -65,43 +65,53 @@ def _pack_bits(cmp: jax.Array) -> jax.Array:
     return jnp.sum(c << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
 
 
-_WIN = 48     # patch window: rotated offsets span <= 15*sqrt(2)+1 ~ 22.2
-_HALF = 22    # px each side of round(center); 45 needed, 48 tiles nicely
+def _patch_geometry(patch_diameter: int):
+    """(half, win): half-extent covering the rotated pattern (radius*sqrt2
+    rounded up, +1 rounding slack) and the window size (multiple of 8)."""
+    radius = patch_diameter // 2
+    half = int(np.ceil(radius * np.sqrt(2.0))) + 1
+    win = -(-(2 * half + 1) // 8) * 8
+    return half, win
 
 
-def _sample_patches(img: jax.Array, coords: jax.Array, gxa, gya, gxb, gyb):
+def _sample_patches(img: jax.Array, coords: jax.Array, gxa, gya, gxb, gyb,
+                    patch_diameter: int):
     """Gather-free sampling of global integer coords (N, bits) for the A
-    and B pattern points: extract one 48x48 patch per point (contiguous-
-    block gather), then read each sample with separable one-hot matmuls.
+    and B pattern points: extract one window per point (contiguous-block
+    gather), then read each sample with separable one-hot matmuls.
     Returns (val_a, val_b) int32, bit-identical to img[gy, gx]."""
+    half, win = _patch_geometry(patch_diameter)
     h, w = img.shape
-    n = coords.shape[0]
     # pad with edge values so clipped global coords stay readable from the
     # patch even when the window hangs off the image
-    pad = jnp.pad(img, ((_HALF + 1, _WIN), (_HALF + 1, _WIN)), mode="edge")
-    cy = jnp.round(coords[:, 1]).astype(jnp.int32)
-    cx = jnp.round(coords[:, 0]).astype(jnp.int32)
-    sy = cy - _HALF            # window origin in image coords
-    sx = cx - _HALF
-    starts = jnp.stack([sy + _HALF + 1, sx + _HALF + 1], axis=1)
+    pad = jnp.pad(img, ((half + 1, win), (half + 1, win)), mode="edge")
+    # clamp the window CENTER into the image so dynamic_slice never clamps
+    # the start itself (a clamped start would shift the whole window while
+    # the local indices still assume the unclamped origin); the clipped
+    # global sample coords always stay inside the clamped window
+    cy = jnp.clip(jnp.round(coords[:, 1]).astype(jnp.int32), 0, h - 1)
+    cx = jnp.clip(jnp.round(coords[:, 0]).astype(jnp.int32), 0, w - 1)
+    sy = cy - half             # window origin in image coords
+    sx = cx - half
+    starts = jnp.stack([sy + half + 1, sx + half + 1], axis=1)
 
     def cut(s):
-        return jax.lax.dynamic_slice(pad, (s[0], s[1]), (_WIN, _WIN))
+        return jax.lax.dynamic_slice(pad, (s[0], s[1]), (win, win))
 
-    patches = jax.vmap(cut)(starts).astype(jnp.bfloat16)   # (N, 48, 48)
+    patches = jax.vmap(cut)(starts).astype(jnp.bfloat16)   # (N, win, win)
 
-    iy = jnp.arange(_WIN, dtype=jnp.int32)
+    iy = jnp.arange(win, dtype=jnp.int32)
     gx = jnp.concatenate([gxa, gxb], axis=1)               # (N, 2*bits)
     gy = jnp.concatenate([gya, gyb], axis=1)
     # window-local indices of the CLIPPED global coords (always in range:
-    # |g - c| <= 22 pre-clip, and clipping only moves g toward the image
-    # interior, which the window covers around c)
-    ly = jnp.clip(gy - sy[:, None], 0, _WIN - 1)
-    lx = jnp.clip(gx - sx[:, None], 0, _WIN - 1)
-    oh_y = (ly[:, :, None] == iy).astype(jnp.bfloat16)     # (N, 2b, 48)
+    # |g - round(c)| <= half pre-clip, and clipping moves g toward the
+    # image interior, which the clamped window covers)
+    ly = jnp.clip(gy - sy[:, None], 0, win - 1)
+    lx = jnp.clip(gx - sx[:, None], 0, win - 1)
+    oh_y = (ly[:, :, None] == iy).astype(jnp.bfloat16)     # (N, 2b, win)
     oh_x = (lx[:, :, None] == iy).astype(jnp.bfloat16)
     rows = jnp.einsum("nbi,nij->nbj", oh_y, patches,
-                      preferred_element_type=jnp.float32)  # (N, 2b, 48)
+                      preferred_element_type=jnp.float32)  # (N, 2b, win)
     vals = jnp.sum(rows * oh_x.astype(jnp.float32), axis=-1)
     vals = vals.astype(jnp.int32)                          # exact: u8 one-hot
     return vals[:, : gxa.shape[1]], vals[:, gxa.shape[1]:]
@@ -153,7 +163,8 @@ def describe(img: jax.Array, points: Points, patch_diameter: int = 31,
     gxa, gya = gcoords(ra)
     gxb, gyb = gcoords(rb)
     if (method or _brief_method()) == "patch":
-        va, vb = _sample_patches(img, coords, gxa, gya, gxb, gyb)
+        va, vb = _sample_patches(img, coords, gxa, gya, gxb, gyb,
+                                 patch_diameter)
     else:
         va = img[gya, gxa].astype(jnp.int32)  # vectorized gather (N, bits)
         vb = img[gyb, gxb].astype(jnp.int32)

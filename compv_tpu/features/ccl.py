@@ -438,19 +438,18 @@ def extract_components(labels: jax.Array, max_components: int = 256,
     g_sumyy = y * y * g_ln
     g_y = y
     new = jnp.concatenate([jnp.ones((1,), bool), g_root[1:] != g_root[:-1]])
-    fgr = g_root < n
     area = _seg_scan_sum(g_ln, new)
     sx = _seg_scan_sum(g_sumx, new)
     sy = _seg_scan_sum(g_sumy, new)
     sxx = _seg_scan_sum(g_sumxx, new)
     sxy = _seg_scan_sum(g_sumxy, new)
     syy = _seg_scan_sum(g_sumyy, new)
-    bx0 = _seg_scan_minmax(jnp.where(fgr, g_x0, w), new, True)
-    bx1 = _seg_scan_minmax(jnp.where(fgr, g_x1, -1.0), new, False)
-    by0 = _seg_scan_minmax(jnp.where(fgr, g_y, h), new, True)
-    by1 = _seg_scan_minmax(jnp.where(fgr, g_y, -1.0), new, False)
+    bx0 = _seg_scan_minmax(jnp.where(gvalid, g_x0, w), new, True)
+    bx1 = _seg_scan_minmax(jnp.where(gvalid, g_x1, -1.0), new, False)
+    by0 = _seg_scan_minmax(jnp.where(gvalid, g_y, h), new, True)
+    by1 = _seg_scan_minmax(jnp.where(gvalid, g_y, -1.0), new, False)
     is_end = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
-    key = jnp.where(is_end & fgr, area, 0.0)
+    key = jnp.where(is_end & gvalid, area, 0.0)
     k = min(max_components, max_runs)
     top_area, pos = jax.lax.top_k(key, k)
     if k < max_components:

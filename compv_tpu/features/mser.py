@@ -267,7 +267,6 @@ def mser_region_points(img: jax.Array, regions: MSERRegions,
     (-1,-1) padding, counts (K,) int32 (true size; list truncated at
     `cap`). Cost: one labeling per region — an on-demand extraction API,
     like the reference's extract(COMPV_CCL_EXTRACT_TYPE_BLOB)."""
-    from ..ops import compaction
     h, w = img.shape
     x = (255 - img) if config.bright_on_dark else img
 

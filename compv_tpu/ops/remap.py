@@ -115,8 +115,16 @@ def remap_bounded(img: jax.Array, map_x: jax.Array, map_y: jax.Array,
         ly = jnp.clip(my - (y0 - d), 0.0, wh - 1.0).reshape(-1)
         lx = jnp.clip(mx - (x0 - d), 0.0, ww_ - 1.0).reshape(-1)
         if interp == Interp.NEAREST:
-            yi = jnp.round(ly).astype(jnp.int32)[:, None]
-            xi = jnp.round(lx).astype(jnp.int32)[:, None]
+            # round in GLOBAL coordinates then shift: round-half-to-even
+            # is not invariant under integer shifts, so rounding the local
+            # coordinate would flip .5 ties whose shift parity differs
+            # from `remap`'s global rounding
+            yi = (jnp.round(my).astype(jnp.int32).reshape(-1)
+                  - (y0 - d))[:, None]
+            xi = (jnp.round(mx).astype(jnp.int32).reshape(-1)
+                  - (x0 - d))[:, None]
+            yi = jnp.clip(yi, 0, wh - 1)
+            xi = jnp.clip(xi, 0, ww_ - 1)
             ohy = (yi == jnp.arange(wh)).astype(jnp.float32)
             ohx = (xi == jnp.arange(ww_)).astype(jnp.float32)
         else:

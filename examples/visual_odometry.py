@@ -60,6 +60,30 @@ def _maybe_viewer():
     return None
 
 
+
+def _track_sequence(odo, imgs, viewer=None, refine_every=8):
+    """Shared tracking loop for the dataset drivers: init on the first two
+    frames, track-or-relocalize each later frame, windowed BA every
+    `refine_every`, then one global BA. Returns tracked frame indices."""
+    import dataclasses
+    from compv_tpu.core.config import BAConfig
+    ok = odo.initialize(imgs[0], imgs[1])
+    print("init:", ok)
+    tracked_frames = [0, 1]
+    for f in range(2, len(imgs)):
+        if odo.track(imgs[f]) or odo.relocalize(imgs[f]):
+            tracked_frames.append(f)
+        if f % refine_every == 0:
+            odo.refine()          # windowed bundle adjustment
+        if viewer is not None:
+            viewer.show(imgs[f], trajectory=np.asarray(odo.positions()),
+                        text=f"frame {f}")
+    # final global bundle adjustment over the full trajectory
+    odo.config = dataclasses.replace(odo.config, ba=BAConfig(max_iters=40))
+    odo.refine(window=len(odo.trajectory))
+    return tracked_frames
+
+
 def run_tum(seq_dir, n_frames=50, config=None):
     ts, paths = datasets.load_tum_rgb_list(seq_dir)
     gt_ts, gt_pos = datasets.load_tum_trajectory(
@@ -77,23 +101,7 @@ def run_tum(seq_dir, n_frames=50, config=None):
     odo = vo.VisualOdometry(intr, config) if config else \
         vo.VisualOdometry(intr)
     imgs = [image_io.imread(paths[i], gray=True) for i, _ in pairs]
-    viewer = _maybe_viewer()
-    ok = odo.initialize(imgs[0], imgs[1])
-    print("init:", ok)
-    tracked_frames = [0, 1]
-    for f in range(2, len(imgs)):
-        if odo.track(imgs[f]) or odo.relocalize(imgs[f]):
-            tracked_frames.append(f)
-        if f % 8 == 0:
-            odo.refine()          # windowed bundle adjustment
-        if viewer is not None:
-            viewer.show(imgs[f], trajectory=np.asarray(odo.positions()),
-                        text=f"frame {f}")
-    # final global bundle adjustment over the full trajectory
-    import dataclasses
-    from compv_tpu.core.config import BAConfig
-    odo.config = dataclasses.replace(odo.config, ba=BAConfig(max_iters=40))
-    odo.refine(window=len(odo.trajectory))
+    tracked_frames = _track_sequence(odo, imgs, _maybe_viewer())
     est = odo.positions()
     # align gt to the frames that actually tracked (a failed frame adds no
     # pose, so positional indexing would shift every later comparison)
@@ -115,22 +123,7 @@ def run_kitti(seq_dir, n_frames=50, config=None, poses_path=None):
     odo = vo.VisualOdometry(intr, config) if config else \
         vo.VisualOdometry(intr)
     imgs = [image_io.imread(p, gray=True) for p in paths]
-    viewer = _maybe_viewer()
-    ok = odo.initialize(imgs[0], imgs[1])
-    print("init:", ok)
-    tracked_frames = [0, 1]
-    for f in range(2, len(imgs)):
-        if odo.track(imgs[f]) or odo.relocalize(imgs[f]):
-            tracked_frames.append(f)
-        if f % 8 == 0:
-            odo.refine()
-        if viewer is not None:
-            viewer.show(imgs[f], trajectory=np.asarray(odo.positions()),
-                        text=f"frame {f}")
-    import dataclasses
-    from compv_tpu.core.config import BAConfig
-    odo.config = dataclasses.replace(odo.config, ba=BAConfig(max_iters=40))
-    odo.refine(window=len(odo.trajectory))
+    tracked_frames = _track_sequence(odo, imgs, _maybe_viewer())
     est = odo.positions()
     print(f"tracked {len(tracked_frames)}/{len(imgs)} frames")
     poses_path = poses_path or os.path.join(seq_dir, "poses.txt")

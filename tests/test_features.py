@@ -89,19 +89,24 @@ class TestBrief:
         np.testing.assert_array_equal(np.asarray(d0.bits), np.asarray(d0b.bits))
 
 
-    def test_patch_method_bit_exact_vs_gather(self, small_image):
+    @pytest.mark.parametrize("diam", [31, 45, 15])
+    def test_patch_method_bit_exact_vs_gather(self, small_image, diam):
         """The MXU patch-sampling backend must be BIT-identical to the
-        gather backend (module docstring contract), including points whose
-        rotated window hangs off the image border."""
+        gather backend (module docstring contract) at every patch
+        diameter, including points whose rotated window hangs off the
+        image border and centers OUTSIDE the image (both review-caught
+        divergences: the window was sized for diameter 31 only, and a
+        negative window start was silently clamped by dynamic_slice)."""
         img = jnp.asarray(small_image)
         h, w = small_image.shape
         rng = np.random.default_rng(11)
         n = 96
         xy = np.stack([rng.uniform(0, w - 1, n),
                        rng.uniform(0, h - 1, n)], 1).astype(np.float32)
-        # force border cases: corners and edge midpoints
-        xy[:8] = [[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1],
-                  [w / 2, 0], [w / 2, h - 1], [0, h / 2], [w - 1, h / 2]]
+        # force border cases: corners, edge midpoints, OFF-image centers
+        xy[:12] = [[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1],
+                   [w / 2, 0], [w / 2, h - 1], [0, h / 2], [w - 1, h / 2],
+                   [-3, 40], [-6, 60], [80, -4], [w + 5, h + 2]]
         pts = Points(
             xy=jnp.asarray(xy),
             strength=jnp.ones((n,), jnp.float32),
@@ -109,8 +114,8 @@ class TestBrief:
             level=jnp.zeros((n,), jnp.int32),
             size=jnp.full((n,), 7.0, jnp.float32),
             count=jnp.asarray(n, jnp.int32))
-        dg = brief.describe(img, pts, method="gather")
-        dp = brief.describe(img, pts, method="patch")
+        dg = brief.describe(img, pts, patch_diameter=diam, method="gather")
+        dp = brief.describe(img, pts, patch_diameter=diam, method="patch")
         np.testing.assert_array_equal(np.asarray(dg.bits),
                                       np.asarray(dp.bits))
 

@@ -268,6 +268,22 @@ class TestRemap:
                 # and almost all pixels identical
                 assert (a == b).mean() > 0.99
 
+    def test_remap_bounded_nearest_half_pixel_ties(self, gray_image):
+        """Review-caught: round-half-to-even is not shift-invariant, so
+        NEAREST must round in GLOBAL coordinates — a half-pixel-shift map
+        is all ties and exposes any local rounding."""
+        h, w = gray_image.shape
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = jnp.asarray(gray_image)
+        a = np.asarray(remap.remap(img, jnp.asarray(xx + 0.5),
+                                   jnp.asarray(yy + 0.5),
+                                   interp=remap.Interp.NEAREST))
+        b = np.asarray(remap.remap_bounded(img, jnp.asarray(xx + 0.5),
+                                           jnp.asarray(yy + 0.5),
+                                           max_displacement=1,
+                                           interp=remap.Interp.NEAREST))
+        np.testing.assert_array_equal(a, b)
+
     def test_remap_bounded_default_and_float(self, gray_image):
         """Out-of-image sources yield default_pixel; float images skip the
         u8 rounding and match remap to fp tolerance."""
