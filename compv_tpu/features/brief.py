@@ -24,6 +24,11 @@ sampling has two interchangeable (bit-exact) backends:
     exact and the comparison is bit-identical to the gather path).
 Selection: COMPV_TPU_BRIEF=gather|patch overrides; default is "patch" on
 TPU, "gather" elsewhere.  Comparison+packing is a VPU pass either way.
+
+Measured on the real v5e chip (2026-08-18, scan-marginal method, full
+8-level ORB detect+describe on HD, 2000 features): patch 5.44 ms/frame vs
+gather 14.16 ms/frame — the patch backend is 2.6x faster end-to-end, so it
+stays the TPU default.
 """
 from __future__ import annotations
 
