@@ -60,7 +60,12 @@ class OrbConfig:
     blur_kernel_size: int = 5
     blur_sigma: float = 2.0
     brief_bits: int = 256
-    brief_seed: int = 0x5EED  # deterministic pattern seed (our own pattern)
+    brief_seed: int = 0x5EED  # pattern seed (used by the "gaussian" pattern)
+    # "learned" = the ORB learned pair table (reference data; ties the
+    # gaussian pattern on the quality A/B in tests/test_descriptor_quality
+    # and buys reference/OpenCV bit-comparability);
+    # "gaussian" = seeded random pairs (classic BRIEF)
+    brief_pattern: str = "learned"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -5,11 +5,19 @@ compv_core_feature_orb_desc.cxx:100-560 + Brief256_31 SSE41/AVX2/NEON asm,
 ~2.6k LoC): per point, 256 pixel-pair comparisons inside a 31x31 patch,
 pattern rotated by the point's orientation, bits packed into uint32[8].
 
-The reference embeds OpenCV's learned 256-pair table; we instead generate a
-deterministic Gaussian-sampled pattern (classic BRIEF, Calonder et al.) from
-a fixed seed — same descriptor family and matching behavior, but our
-descriptors are not bit-compatible with the reference's (its MD5 oracle
-depends on its table; parity is checked statistically in tests instead).
+Two sampling patterns are available (round-2 VERDICT item 5):
+  - "learned" (default): the ORB learned 256-pair table, imported as
+    constant data from the reference's embedded copy
+    (compv_core_feature_orb_desc.cxx:37-94; see brief_pattern_learned.py);
+  - "gaussian": deterministic Gaussian-sampled pairs (classic BRIEF,
+    Calonder et al.) from a fixed seed.
+tests/test_descriptor_quality.py::test_learned_vs_gaussian_ab measures
+both under rotation/scale/blur/noise: a statistical TIE on the synthetic
+harness (learned 852 verified inliers @ 0.970 precision vs gaussian 872 @
+0.975, 2026-08-19 run printed by the test). The default is "learned"
+because at equal matching quality it additionally makes descriptors
+bit-comparable with reference/OpenCV ORB given identical keypoints (the
+gaussian pattern forfeits that for no measured gain).
 
 TPU formulation: rotation is a (256, 2) @ (2, 2) matmul batched over points;
 sampling has two interchangeable (bit-exact) backends:
@@ -25,10 +33,11 @@ sampling has two interchangeable (bit-exact) backends:
 Selection: COMPV_TPU_BRIEF=gather|patch overrides; default is "patch" on
 TPU, "gather" elsewhere.  Comparison+packing is a VPU pass either way.
 
-Measured on the real v5e chip (2026-08-18, scan-marginal method, full
-8-level ORB detect+describe on HD, 2000 features): patch 5.44 ms/frame vs
-gather 14.16 ms/frame — the patch backend is 2.6x faster end-to-end, so it
-stays the TPU default.
+Measured on the real v5e chip (scan-marginal method, full 8-level ORB
+detect+describe on HD, 2000 features): patch 5.44 ms/frame vs gather
+14.16 ms/frame (2026-08-18 sweep; the committed BENCH_DETAIL.md round-3
+table pins the patch-backend pipeline at 5.57 ms) — the patch backend is
+~2.6x faster end-to-end, so it stays the TPU default.
 """
 from __future__ import annotations
 
@@ -44,10 +53,19 @@ from ..core.types import Descriptors, Points
 
 @functools.lru_cache(maxsize=None)
 def brief_pattern(bits: int = 256, patch_diameter: int = 31,
-                  seed: int = 0x5EED):
-    """(bits, 2) int32 offsets for A and B sample points, Gaussian-sampled
-    (sigma = patch/5, the classic BRIEF G-II sampling) and clipped to the
-    patch. Deterministic in `seed`."""
+                  seed: int = 0x5EED, pattern: str = "learned"):
+    """(bits, 2) float32 offsets for A and B sample points.
+
+    pattern="learned": the ORB learned table (256 pairs, 31x31 patch —
+    the only geometry it defines); pattern="gaussian": Gaussian-sampled
+    (sigma = patch/5, classic BRIEF G-II), deterministic in `seed`."""
+    if pattern == "learned":
+        if bits != 256 or patch_diameter != 31:
+            raise ValueError(
+                "learned pattern defines exactly 256 pairs on a 31x31 "
+                f"patch, got bits={bits} patch={patch_diameter}")
+        from .brief_pattern_learned import learned_pattern
+        return learned_pattern()
     rng = np.random.default_rng(seed)
     radius = patch_diameter // 2
     sigma = patch_diameter / 5.0
@@ -132,7 +150,8 @@ def _brief_method() -> str:
 
 def describe(img: jax.Array, points: Points, patch_diameter: int = 31,
              bits: int = 256, seed: int = 0x5EED,
-             xy=None, method: str | None = None) -> Descriptors:
+             xy=None, method: str | None = None,
+             pattern: str = "learned") -> Descriptors:
     """Compute rotated BRIEF descriptors at `points` on (blurred) `img`.
 
     ``xy`` optionally overrides the sampling coordinates (e.g. level-local
@@ -142,9 +161,10 @@ def describe(img: jax.Array, points: Points, patch_diameter: int = 31,
     callers replicating that should pre-filter, see orb.py).
     ``method`` selects the sampling backend ("gather"/"patch", bit-exact
     equals — see module docstring); default per _brief_method().
+    ``pattern`` selects the pair table ("learned"/"gaussian").
     """
     coords = points.xy if xy is None else xy
-    pa_np, pb_np = brief_pattern(bits, patch_diameter, seed)
+    pa_np, pb_np = brief_pattern(bits, patch_diameter, seed, pattern)
     pa, pb = jnp.asarray(pa_np), jnp.asarray(pb_np)
     cos = jnp.cos(points.angle)
     sin = jnp.sin(points.angle)

@@ -43,6 +43,11 @@ class Components(NamedTuple):
     #                       image; if > the max_runs the extraction ran
     #                       with, late-scan runs were dropped and every
     #                       stat is partial (re-extract with a bigger cap)
+    total_components: jax.Array = 0  # () int32 — TRUE number of
+    #                       components among the (possibly truncated) run
+    #                       table; > count means the top-K selection
+    #                       dropped small components (docs/API.md failure
+    #                       convention: overflow is visible, never silent)
 
 
 class Runs(NamedTuple):
@@ -470,6 +475,7 @@ def extract_components(labels: jax.Array, max_components: int = 256,
         count=jnp.sum(valid).astype(jnp.int32),
         moments=jnp.where(valid[:, None], mom, 0.0),
         run_count=run_count,
+        total_components=jnp.sum(new & gvalid).astype(jnp.int32),
     )
 
 

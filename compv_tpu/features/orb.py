@@ -111,7 +111,8 @@ def orb_detect_describe(img: jax.Array, config: OrbConfig = OrbConfig()
         blurred = gaussian_blur(level_img, config.blur_kernel_size,
                                 config.blur_sigma)
         desc = brief.describe(blurred, pts, config.patch_diameter,
-                              config.brief_bits, config.brief_seed)
+                              config.brief_bits, config.brief_seed,
+                              pattern=config.brief_pattern)
         # scale coordinates back to level-0 frame (orb_dete.cxx:336-343)
         scale_back = 1.0 / (sf ** lv)
         pts = Points(xy=pts.xy * scale_back, strength=pts.strength,

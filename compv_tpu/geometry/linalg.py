@@ -85,6 +85,20 @@ def eigh_batched(s: jax.Array, sweeps: int = 10):
     return jax.vmap(lambda m: eigh_jacobi(m, sweeps=sweeps))(s)
 
 
+def eigh_converged(s: jax.Array, w: jax.Array, v: jax.Array,
+                   tol: float = 1e-4) -> jax.Array:
+    """() bool device-side convergence check for an eigh_jacobi result
+    (docs/API.md failure convention): the residual max|S v - v diag(w)|
+    must be below tol * max|w|.  Cyclic Jacobi with the default sweep
+    count converges for every symmetric matrix in practice, but extreme
+    conditioning can stall in f32 — callers that feed ill-conditioned
+    scatter matrices (DLT on near-degenerate configurations) gate on this
+    instead of consuming silent garbage.  Cost: one (n,n)@(n,n) matmul."""
+    r = s.astype(jnp.float32) @ v - v * w[None, :]
+    return jnp.max(jnp.abs(r)) <= tol * jnp.maximum(jnp.max(jnp.abs(w)),
+                                                    1e-30)
+
+
 def min_eigenvector(s: jax.Array, sweeps: int = 10) -> jax.Array:
     """Eigenvector of the smallest eigenvalue (what DLT needs)."""
     _, v = eigh_jacobi(s, sweeps=sweeps)

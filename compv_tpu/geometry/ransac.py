@@ -28,6 +28,13 @@ class RansacResult(NamedTuple):
     inlier_mask: jax.Array   # (N,) bool
     num_inliers: jax.Array   # () int32
     iterations: jax.Array    # () int32 — hypotheses actually scored
+    # () bool — False when no hypothesis scored more than sample_size
+    # inliers (a minimal set trivially fits itself, so <= sample_size
+    # means every model was degenerate or the data is pure noise): `model`
+    # is then garbage and MUST NOT be consumed (docs/API.md "failure
+    # convention"; reference analogue: stats_ransac.cxx returning an
+    # empty inlier set)
+    found: jax.Array = True
 
 
 def ransac(key: jax.Array,
@@ -113,4 +120,5 @@ def ransac(key: jax.Array,
     return RansacResult(model=carry.best_model,
                         inlier_mask=carry.best_mask,
                         num_inliers=carry.best_count,
-                        iterations=carry.rounds * batch)
+                        iterations=carry.rounds * batch,
+                        found=carry.best_count > sample_size)

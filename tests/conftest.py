@@ -77,6 +77,23 @@ import numpy as np
 import pytest
 
 
+def pytest_addoption(parser):
+    """--real-data: run the full-ATE evaluations on downloaded TUM/KITTI
+    sequences (tools/fetch_datasets.sh); skipped by default because no
+    dataset ships in this image (round-2 VERDICT item 10)."""
+    parser.addoption("--real-data", action="store_true", default=False,
+                     help="run ATE tests against real TUM/KITTI data")
+    parser.addoption("--data-dir", action="store", default="data",
+                     help="dataset root (see tools/fetch_datasets.sh)")
+
+
+@pytest.fixture(scope="session")
+def real_data_dir(request):
+    if not request.config.getoption("--real-data"):
+        pytest.skip("real-data evaluation disabled (pass --real-data)")
+    return request.config.getoption("--data-dir")
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

@@ -52,9 +52,9 @@ def _h_scale(s):
                      [0, 0, 1.0]])
 
 
-def _inliers(img, img2, h3):
-    p1, d1 = orb_detect_describe(jnp.asarray(img), _CFG)
-    p2, d2 = orb_detect_describe(jnp.asarray(img2), _CFG)
+def _inliers(img, img2, h3, cfg=_CFG):
+    p1, d1 = orb_detect_describe(jnp.asarray(img), cfg)
+    p2, d2 = orb_detect_describe(jnp.asarray(img2), cfg)
     m = bruteforce.match(d1, d2, knn=2)
     good = np.asarray(bruteforce.lowe_ratio_mask(m, 0.8)).copy()
     good[int(p1.count):] = False
@@ -106,3 +106,44 @@ class TestDescriptorQuality:
         img = _texture()
         n_good, n_inl = _inliers(img, img, np.eye(3))
         assert n_good >= 300 and n_inl == n_good
+
+    def test_learned_vs_gaussian_ab(self, capsys):
+        """A/B the learned ORB pair table vs the seeded Gaussian pattern
+        (round-2 VERDICT item 5): same detector, same transforms, measure
+        verified inliers and precision per case. The package default
+        (OrbConfig.brief_pattern='learned') must be the overall winner on
+        total verified inliers (small slack: patterns tie on easy cases)."""
+        import dataclasses
+        totals = {}
+        rows = []
+        for pat in ("learned", "gaussian"):
+            cfg = dataclasses.replace(_CFG, brief_pattern=pat)
+            tot_inl = tot_good = 0
+            for name, h3, blur, noise, _, _ in CASES:
+                img = _texture()
+                img2 = np.asarray(remap.warp_perspective(
+                    jnp.asarray(img), jnp.asarray(h3, jnp.float32), H, W)
+                ).astype(np.uint8)
+                if noise:
+                    rng = np.random.default_rng(7)
+                    img2 = np.clip(img2.astype(int)
+                                   + rng.normal(0, noise, (H, W)), 0,
+                                   255).astype(np.uint8)
+                n_good, n_inl = _inliers(img, img2, h3, cfg)
+                rows.append((pat, name, n_good, n_inl))
+                tot_inl += n_inl
+                tot_good += n_good
+            totals[pat] = (tot_inl, tot_good)
+        with capsys.disabled():
+            print("\n  pattern   case        good  inliers")
+            for pat, name, g, i in rows:
+                print(f"  {pat:<9} {name:<11} {g:>4} {i:>6}")
+            for pat, (i, g) in totals.items():
+                print(f"  TOTAL {pat:<9} inliers={i} precision="
+                      f"{i / max(g, 1):.3f}")
+        li, lg = totals["learned"]
+        gi, gg = totals["gaussian"]
+        # default justification: learned must not lose on verified inliers
+        # nor on precision (beyond noise slack)
+        assert li >= gi * 0.97, totals
+        assert li / max(lg, 1) >= gi / max(gg, 1) - 0.02, totals

@@ -63,9 +63,16 @@ class TestFast:
 
 class TestBrief:
     def test_pattern_deterministic(self):
-        a1, b1 = brief.brief_pattern(256, 31, 7)
-        a2, b2 = brief.brief_pattern(256, 31, 7)
+        a1, b1 = brief.brief_pattern(256, 31, 7, "gaussian")
+        a2, b2 = brief.brief_pattern(256, 31, 7, "gaussian")
         np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+    def test_learned_pattern_table(self):
+        """Learned table: 256 pairs, all offsets inside the 31x31 patch."""
+        a, b = brief.brief_pattern(256, 31, pattern="learned")
+        assert a.shape == (256, 2) and b.shape == (256, 2)
+        assert np.abs(a).max() <= 15 and np.abs(b).max() <= 15
+        assert not np.all(a == b, axis=1).any()
 
     def test_descriptor_shape_and_padding(self, small_image):
         pts = fast.fast_detect(jnp.asarray(small_image), FastConfig(max_features=64))
@@ -89,8 +96,12 @@ class TestBrief:
         np.testing.assert_array_equal(np.asarray(d0.bits), np.asarray(d0b.bits))
 
 
-    @pytest.mark.parametrize("diam", [31, 45, 15])
-    def test_patch_method_bit_exact_vs_gather(self, small_image, diam):
+    @pytest.mark.parametrize("diam,pattern", [(31, "learned"),
+                                              (31, "gaussian"),
+                                              (45, "gaussian"),
+                                              (15, "gaussian")])
+    def test_patch_method_bit_exact_vs_gather(self, small_image, diam,
+                                              pattern):
         """The MXU patch-sampling backend must be BIT-identical to the
         gather backend (module docstring contract) at every patch
         diameter, including points whose rotated window hangs off the
@@ -114,8 +125,10 @@ class TestBrief:
             level=jnp.zeros((n,), jnp.int32),
             size=jnp.full((n,), 7.0, jnp.float32),
             count=jnp.asarray(n, jnp.int32))
-        dg = brief.describe(img, pts, patch_diameter=diam, method="gather")
-        dp = brief.describe(img, pts, patch_diameter=diam, method="patch")
+        dg = brief.describe(img, pts, patch_diameter=diam, method="gather",
+                            pattern=pattern)
+        dp = brief.describe(img, pts, patch_diameter=diam, method="patch",
+                            pattern=pattern)
         np.testing.assert_array_equal(np.asarray(dg.bits),
                                       np.asarray(dp.bits))
 

@@ -77,7 +77,14 @@ class TestGolden:
                      level=pts.level, size=pts.size, count=pts.count)
         d = brief.describe(jnp.asarray(img), pts, method="gather")
         bits = np.asarray(d.bits)
+        # digest re-pinned 2026-08-19: default pattern switched to the
+        # learned ORB pair table (brief_pattern_learned.py)
         assert runtime.md5_hex(bits.view(np.uint8)) == \
+            "61575956c8b62a86d7684e9d0c058bc7"
+        # the gaussian pattern keeps its own pin (pattern selectability)
+        dg = brief.describe(jnp.asarray(img), pts, method="gather",
+                            pattern="gaussian")
+        assert runtime.md5_hex(np.asarray(dg.bits).view(np.uint8)) == \
             "b8a8cda194f3a8071cd65576b8b5fc6c"
 
     def test_ccl_labels_digest(self):

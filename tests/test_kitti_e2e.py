@@ -60,3 +60,23 @@ def test_kitti_directory_end_to_end(tmp_path, monkeypatch):
     path_len = np.linalg.norm(np.diff(gt_pos, axis=0), axis=1).sum()
     assert err is not None and err < 0.05 * path_len, (err, path_len)
     assert os.path.exists(tmp_path / "trajectory.png")
+
+
+def test_kitti_00_real_data(real_data_dir, tmp_path, monkeypatch):
+    """Scale-aligned ATE on the first 300 frames of real KITTI 00
+    (opt-in: pytest --real-data after tools/fetch_datasets.sh puts
+    sequences/00 + poses/00.txt under data/kitti_odometry)."""
+    import pytest
+    root = os.path.join(real_data_dir, "kitti_odometry")
+    seq = os.path.join(root, "sequences", "00")
+    poses = os.path.join(root, "poses", "00.txt")
+    if not os.path.isdir(seq):
+        pytest.skip(f"KITTI 00 not found at {seq} "
+                    "(see tools/fetch_datasets.sh)")
+    import visual_odometry as vo_example
+    monkeypatch.chdir(tmp_path)
+    err = vo_example.run_kitti(
+        seq, n_frames=300,
+        poses_path=poses if os.path.exists(poses) else None)
+    # monocular VO, scale-aligned: allow 2% of the ~250 m travelled
+    assert err is None or err < 5.0, err

@@ -58,3 +58,20 @@ def test_tum_directory_end_to_end(tmp_path, monkeypatch):
     path_len = np.linalg.norm(np.diff(gt_pos, axis=0), axis=1).sum()
     assert err < 0.05 * path_len, (err, path_len)
     assert os.path.exists(tmp_path / "trajectory.png")
+
+
+def test_tum_fr1_xyz_real_data(real_data_dir, tmp_path, monkeypatch):
+    """Full ATE on the real TUM fr1_xyz sequence (BASELINE.json north-star;
+    opt-in: pytest --real-data after tools/fetch_datasets.sh). Bound: the
+    BASELINE ATE RMSE envelope for fr1_xyz (an easy, slow-translation
+    sequence; ORB-SLAM-class systems report ~0.01 m, we allow 0.15 m for
+    a windowed-BA VO without full global mapping)."""
+    import pytest
+    seq = os.path.join(real_data_dir, "rgbd_dataset_freiburg1_xyz")
+    if not os.path.isdir(seq):
+        pytest.skip(f"TUM fr1_xyz not found at {seq} "
+                    "(run tools/fetch_datasets.sh)")
+    import visual_odometry as vo_example
+    monkeypatch.chdir(tmp_path)
+    err = vo_example.run_tum(seq, n_frames=200)
+    assert err is not None and err < 0.15, err
