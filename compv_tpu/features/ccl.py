@@ -395,6 +395,30 @@ def _seg_scan_minmax(vals, new, take_min):
     return out
 
 
+def _seg_scan_multi(sums, mins, maxs, new):
+    """Segmented inclusive scan of many stats in ONE associative pass:
+    `sums` accumulate, `mins`/`maxs` reduce; all share the segment-start
+    flags `new`. Returns sums + mins + maxs in argument order."""
+    ns, nm = len(sums), len(mins)
+
+    def op(a, b):
+        af, bf = a[-1], b[-1]
+        out = []
+        for i, (av, bv) in enumerate(zip(a[:-1], b[:-1])):
+            if i < ns:
+                red = av + bv
+            elif i < ns + nm:
+                red = jnp.minimum(av, bv)
+            else:
+                red = jnp.maximum(av, bv)
+            out.append(jnp.where(bf, bv, red))
+        return tuple(out) + (af | bf,)
+
+    res = jax.lax.associative_scan(
+        op, tuple(sums) + tuple(mins) + tuple(maxs) + (new,))
+    return res[:-1]
+
+
 @functools.partial(jax.jit, static_argnames=("max_components", "max_runs"))
 def extract_components(labels: jax.Array, max_components: int = 256,
                        max_runs: int = 262144) -> Components:
@@ -414,15 +438,7 @@ def extract_components(labels: jax.Array, max_components: int = 256,
     h, w = labels.shape
     n = h * w
     flat = labels.reshape(-1)
-    s, e, rvalid, run_count = _run_table(labels, max_runs)
-    root = jnp.where(rvalid, flat[jnp.minimum(s, n - 1)], n)
-    # group runs by component with a THREE-operand sort (root, start, end);
-    # every per-run stat below is closed-form in (start, end), so sorting
-    # the derived stats (round 1: a 10-operand variadic sort — each extra
-    # operand rides the whole sort network) is wasted traffic
-    g_root, g_s, g_e = jax.lax.sort(
-        (root, jnp.where(rvalid, s, n), jnp.where(rvalid, e, n)),
-        num_keys=1)
+    g_root, g_s, g_e, run_count = _sorted_run_table(labels, max_runs)
     gvalid = g_root < n
     y = jnp.where(gvalid, (g_s // w).astype(jnp.float32), 0.0)
     g_x0 = jnp.where(gvalid, (g_s % w).astype(jnp.float32), 0.0)
@@ -443,16 +459,14 @@ def extract_components(labels: jax.Array, max_components: int = 256,
     g_sumyy = y * y * g_ln
     g_y = y
     new = jnp.concatenate([jnp.ones((1,), bool), g_root[1:] != g_root[:-1]])
-    area = _seg_scan_sum(g_ln, new)
-    sx = _seg_scan_sum(g_sumx, new)
-    sy = _seg_scan_sum(g_sumy, new)
-    sxx = _seg_scan_sum(g_sumxx, new)
-    sxy = _seg_scan_sum(g_sumxy, new)
-    syy = _seg_scan_sum(g_sumyy, new)
-    bx0 = _seg_scan_minmax(jnp.where(gvalid, g_x0, w), new, True)
-    bx1 = _seg_scan_minmax(jnp.where(gvalid, g_x1, -1.0), new, False)
-    by0 = _seg_scan_minmax(jnp.where(gvalid, g_y, h), new, True)
-    by1 = _seg_scan_minmax(jnp.where(gvalid, g_y, -1.0), new, False)
+    # ONE associative scan carries all ten per-component stats (round 2 ran
+    # ten separate scans — ~3.7 ms of redundant passes at 262k runs,
+    # measured on-chip 2026-08-19)
+    (area, sx, sy, sxx, sxy, syy, bx0, by0, bx1, by1) = _seg_scan_multi(
+        sums=(g_ln, g_sumx, g_sumy, g_sumxx, g_sumxy, g_sumyy),
+        mins=(jnp.where(gvalid, g_x0, w), jnp.where(gvalid, g_y, h)),
+        maxs=(jnp.where(gvalid, g_x1, -1.0), jnp.where(gvalid, g_y, -1.0)),
+        new=new)
     is_end = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
     key = jnp.where(is_end & gvalid, area, 0.0)
     k = min(max_components, max_runs)
@@ -477,6 +491,48 @@ def extract_components(labels: jax.Array, max_components: int = 256,
         run_count=run_count,
         total_components=jnp.sum(new & gvalid).astype(jnp.int32),
     )
+
+
+def _sorted_run_table(labels: jax.Array, max_runs: int):
+    """Root-sorted run table straight from the dense label map: (g_root,
+    g_s, g_e) each (max_runs,), sorted ascending by component root, plus
+    the TRUE run count.
+
+    Round 2 first compacted run starts (butterfly + global placement +
+    three 262k gathers) and then sorted — but the on-chip profile
+    (2026-08-19) showed placement + gathers cost ~14 ms while a
+    megapixel 3-operand lax.sort is ~1 ms on v5e: sorting the FULL map
+    with sentinel keys (invalid pixels key = n, ordering after every real
+    root) and slicing the first max_runs slots is both simpler and ~10x
+    faster. The slice is exact: valid runs sort before all sentinels."""
+    h, w = labels.shape
+    n = h * w
+    fg = labels < n
+    left = jnp.pad(fg, ((0, 0), (1, 0)))[:, :w]
+    start = fg & ~left
+
+    def op(a, b):          # suffix run-length scan, resets at background
+        av, af = a
+        bv, bf = b
+        return (jnp.where(bf, bv, av + bv), af | bf)
+
+    runlen, _ = jax.lax.associative_scan(
+        op, (fg.astype(jnp.int32), ~fg), axis=1, reverse=True)
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    key = jnp.where(start, labels, n).reshape(-1)
+    s = jnp.where(start, idx, n).reshape(-1)
+    ln = jnp.where(start, runlen, 1).reshape(-1)
+    g_root, g_s, g_ln = jax.lax.sort((key, s, ln), num_keys=1)
+    m = min(max_runs, n)
+    g_root, g_s, g_ln = g_root[:m], g_s[:m], g_ln[:m]
+    if m < max_runs:
+        pad = max_runs - m
+        g_root = jnp.pad(g_root, (0, pad), constant_values=n)
+        g_s = jnp.pad(g_s, (0, pad), constant_values=n)
+        g_ln = jnp.pad(g_ln, (0, pad), constant_values=1)
+    g_e = g_s + g_ln - 1
+    run_count = jnp.sum(start).astype(jnp.int32)
+    return g_root, g_s, g_e, run_count
 
 
 def _run_table(labels: jax.Array, max_runs: int):

@@ -122,24 +122,24 @@ def _compact_rows(key_c: jax.Array, pad_key: int):
     monotone non-decreasing along the row, so routing one shift bit per
     stage is collision-free. log2(W) roll+select passes — no one-hot
     blow-up, no scatter, no sort. Within-row order is preserved (and
-    irrelevant anyway: the caller re-sorts the final k keys)."""
+    irrelevant anyway: the caller re-sorts the final k keys). Validity is
+    IMPLICIT — a slot is live iff its key != pad_key (real keys always
+    differ from the pad), which drops the third carried array and ~30%
+    of the per-stage work."""
     hh, ww = key_c.shape
-    v = key_c != pad_key
-    vi = v.astype(jnp.int32)
+    vi = (key_c != pad_key).astype(jnp.int32)
     rank = jnp.cumsum(vi, axis=1) - vi
     cols = jnp.arange(ww, dtype=jnp.int32)[None, :]
-    r = jnp.where(v, cols - rank, 0)
+    r = jnp.where(vi > 0, cols - rank, 0)
     y = key_c
     b = 1
     while b < ww:
         cand = jnp.roll(y, -b, axis=1)
-        cv = jnp.roll(v, -b, axis=1)
         cr = jnp.roll(r, -b, axis=1)
-        move_in = cv & ((cr & b) != 0) & (cols + b < ww)
-        moved_out = v & ((r & b) != 0)
+        move_in = (cand != pad_key) & ((cr & b) != 0) & (cols + b < ww)
+        moved_out = (y != pad_key) & ((r & b) != 0)
         y = jnp.where(move_in, cand, jnp.where(moved_out, pad_key, y))
         r = jnp.where(move_in, cr - b, jnp.where(moved_out, 0, r))
-        v = move_in | (v & ~moved_out)
         b <<= 1
     return y, jnp.sum(vi, axis=1)
 
@@ -151,68 +151,108 @@ def _cutoff_select(strengths: jax.Array, k: int,
     The full-map sort dominated FAST (~1.2 ms/frame of 1.37 at HD; a
     BATCHED big lax.sort additionally takes minutes to compile). But a
     u8 map admits exact selection without sorting:
-      1. binary-search the strength cutoff c (8 masked reductions): the
-         smallest c with #{s >= c} <= k; ties at c-1 resolved by ascending
-         flat index via an exclusive row-major cumsum (lax.top_k parity);
-      2. (nms_spaced) NMS with suppress-on-tie leaves at most one survivor
+      1. binary-search the strength cutoff c (8 masked reductions READ
+         FROM THE u8 MAP — round 2 materialized a padded i32 copy first,
+         ~4x the compulsory traffic for the hottest postlude stage): the
+         smallest c with #{s >= c} <= k;
+      2. ties at c-1 resolve by ascending flat index. Round 2 ranked
+         every tie with a full-map row cumsum + row-offset broadcast;
+         now only PER-ROW tie counts (one cheap reduction) pick the rows
+         whose ties can still be needed (exclusive row cumsum < r), all
+         their ties are over-selected (at most one extra row's worth,
+         <= W), and the final small sort cuts exactly — same result,
+         two full-map passes fewer;
+      3. (nms_spaced) NMS with suppress-on-tie leaves at most one survivor
          per 2x2 block, so the selected-key map min-pools 2x2 losslessly —
          strided-slice minimum is free, reshape-reduce relayouts (~2.5 ms);
-      3. left-compact each row's selected keys with a log2(W)-stage
+      4. left-compact each row's selected keys with a log2(W)-stage
          butterfly (_compact_rows) — the prior one-hot compare-reduce
          materialized a (rows, segs, 128, 128) i32 intermediate (~140 MB
          of HBM traffic at HD);
-      4. place rows via searchsorted over row offsets + a k-element
-         gather (small gathers are ~6 ns/element — fine at k);
-      5. restore the exact contract with one k-element packed sort (free).
+      5. place rows via searchsorted over row offsets + a (k+W)-element
+         gather (small gathers are ~6 ns/element — fine at this size);
+      6. restore the exact contract with one (k+W)-element packed sort.
     Returns sorted packed keys (k,). Bit-identical to lax.top_k over the
-    flat map regardless of nms_spaced (the selection mask and tie ranks
-    are computed at full resolution before pooling)."""
+    flat map regardless of nms_spaced."""
     h, w = strengths.shape
     span = 2 * _SEG if nms_spaced else _SEG
     wp = -(-w // span) * span
     hp = h + (h % 2) if nms_spaced else h
-    si = jnp.pad(strengths.astype(jnp.int32),
-                 ((0, hp - h), (0, wp - w)), constant_values=0)
+    su = jnp.pad(strengths, ((0, hp - h), (0, wp - w)))    # stays u8
 
-    def bs(carry, _):
-        lo, hi = carry
-        mid = (lo + hi) // 2
-        over_k = jnp.sum((si >= mid).astype(jnp.int32)) > k
-        return (jnp.where(over_k, mid + 1, lo),
-                jnp.where(over_k, hi, mid)), None
-
-    # carry init derives from si so its varying-manual-axes type matches the
-    # body output under shard_map (a literal init is 'replicated', the body
-    # output 'varying' -> scan type error on sharded inputs)
-    z = si[0, 0] * 0
-    (c, _), _ = jax.lax.scan(bs, (z + 1, z + 256), None, length=8)
-    hi_mask = si >= c
-    r = k - jnp.sum(hi_mask.astype(jnp.int32))
-    eq = (si == c - 1) & (c > 1)
-    eqi = eq.astype(jnp.int32)
-    rc = jnp.cumsum(eqi, axis=1)
-    row_tot = rc[:, -1]
-    eqrank = rc - eqi + (jnp.cumsum(row_tot) - row_tot)[:, None]
-    sel = hi_mask | (eq & (eqrank < r))
-
+    # ONE full-resolution pass: pack (255-s, flat_idx) keys where s > 0.
+    # Everything after runs on the 2x2-min-pooled key map when NMS
+    # guarantees <= 1 survivor per block — 4x less data for the cutoff
+    # search, tie counting, selection AND compaction (round 2 ran the
+    # cutoff + tie passes at full res; the fused kernel is 63 us but this
+    # postlude was ~170 us of the 233 us total, profiled 2026-08-19).
+    si = su.astype(jnp.int32)
     cols = jnp.arange(wp, dtype=jnp.int32)[None, :]
-    sel = sel & (cols < w)
     flat_idx = jnp.arange(hp, dtype=jnp.int32)[:, None] * w + cols
-    key_c = jnp.where(sel, _pack_key(si, flat_idx), _PAD_KEY)
+    key_full = jnp.where(su > 0, _pack_key(si, flat_idx), _PAD_KEY)
     if nms_spaced:
-        a = jnp.minimum(key_c[0::2], key_c[1::2])
-        key_c = jnp.minimum(a[:, 0::2], a[:, 1::2])
+        a = jnp.minimum(key_full[0::2], key_full[1::2])
+        key_p = jnp.minimum(a[:, 0::2], a[:, 1::2])
+    else:
+        key_p = key_full
 
-    ck, counts = _compact_rows(key_c, _PAD_KEY)   # (hh, ww), (hh,)
+    # exact cutoff from ONE histogram pass (pooling dropped only zeros,
+    # so counts match the full map for every c >= 1): round 3's unrolled
+    # 8-step binary search was 8 SEQUENTIAL full-map reduce launches
+    # (data-dependent midpoints serialize them); a 256-bin MXU histogram
+    # (ops/binsum) + a 256-entry suffix cumsum gives every count at once.
+    from ..ops import binsum
+    sp = 255 - (key_p >> 22)                   # pooled strengths; PAD -> 0
+    hist = binsum.bincount(sp, 256)
+    cum = jnp.cumsum(hist[::-1])[::-1]         # cum[c] = #{s >= c}
+    # smallest c >= 1 with cum[c] <= k (cum[256] = 0 would always qualify)
+    c = 1 + jnp.sum((cum[1:] > k).astype(jnp.int32))
+    bins = jnp.arange(256, dtype=jnp.int32)
+    strict_n = jnp.sum(jnp.where(bins >= c, hist, 0))
+    r = k - strict_n
+    strict_bound = (256 - c) << 22
+    eq_bound = (257 - c) << 22
+    strict = key_p < strict_bound
+    eq = (key_p >= strict_bound) & (key_p < eq_bound) & (c > 1)
+    # over-select ties by pooled-row blocks: a tie with flat-rank q < r
+    # lies in a pooled row whose exclusive cumulative tie count is <= q
+    # < r (pooled rows preserve flat-index order ACROSS rows), so keeping
+    # whole rows while cum_ex < r covers the needed set; at most one
+    # row's worth (<= w) of extra ties rides along and the final small
+    # sort cuts exactly.
+    row_tot = jnp.sum(eq.astype(jnp.int32), axis=1)
+    cum_ex = jnp.cumsum(row_tot) - row_tot
+    sel = strict | (eq & (cum_ex < r)[:, None])
+    key_c = jnp.where(sel, key_p, _PAD_KEY)
+
+    # butterfly compaction on 128-lane segments: reshape each row into
+    # its lane segments as extra rows — 7 roll+select stages instead of
+    # log2(W); row-major order is preserved (segments of a row stay in
+    # order), so placement semantics are unchanged.
+    hh, ww = key_c.shape
+    key_c = key_c.reshape(hh * (ww // _SEG), _SEG)
+    cap = k + w                               # k strict + <= one row of ties
+    ck, counts = _compact_rows(key_c, _PAD_KEY)
+    nrows = counts.shape[0]
     row_off = jnp.cumsum(counts) - counts
     total = jnp.sum(counts)
-    g = jnp.arange(k, dtype=jnp.int32)
-    row_g = jnp.sum((row_off[None, :] <= g[:, None]).astype(jnp.int32),
-                    axis=1) - 1
-    slot_g = jnp.clip(g - row_off[row_g], 0, ck.shape[1] - 1)
+    # placement via scatter + running max (row offsets strictly increase
+    # over nonempty rows) — the round-2 broadcast row_off <= g matrix was
+    # (cap x rows) and ~50 us of the single-frame postlude
+    nonempty = counts > 0
+    rows_i = jnp.arange(nrows, dtype=jnp.int32)
+    scat = jnp.where(nonempty, row_off, cap)
+    z = jnp.zeros((cap,), jnp.int32).at[scat].max(
+        jnp.where(nonempty, rows_i, 0), mode="drop")
+    row_g = jax.lax.cummax(z)
+    o = jnp.zeros((cap,), jnp.int32).at[scat].max(
+        jnp.where(nonempty, row_off, 0), mode="drop")
+    off_g = jax.lax.cummax(o)
+    g = jnp.arange(cap, dtype=jnp.int32)
+    slot_g = jnp.clip(g - off_g, 0, ck.shape[1] - 1)
     keys = ck[row_g, slot_g]
     keys = jnp.where(g < total, keys, _PAD_KEY)
-    return jax.lax.sort(keys)
+    return jax.lax.sort(keys)[:k]
 
 
 def _keys_to_points(keys: jax.Array, max_features: int, k: int, w: int,

@@ -31,78 +31,97 @@ import numpy as np
 
 from ..core.config import HoughConfig
 from ..core.registry import register
-from ..ops import binsum
 from .hough_sht import HoughLines, select_peaks
 
 
-def _batched_label(tiles: jax.Array, max_iters: int) -> jax.Array:
-    """8-connected min-label propagation over a batch of small tiles,
-    (B, t, t) uint8 -> (B, t, t) int32 local labels (background = t*t).
-    Rolls + wrap masks only — dynamic_slice forces relayout copies on TPU
-    and a Pallas launch per tiny tile would be all overhead."""
-    b, tt, _ = tiles.shape
-    fg = tiles > 0
-    big = jnp.int32(tt * tt)
-    idx = jnp.arange(tt * tt, dtype=jnp.int32).reshape(tt, tt)
-    lbl0 = jnp.where(fg, idx[None], big)
-    rows = jnp.arange(tt)[None, :, None]
-    cols = jnp.arange(tt)[None, None, :]
+def _tile_local_label(binary: jax.Array, tile: int, ty: int, tx: int,
+                      iters: int) -> jax.Array:
+    """8-connected min-label propagation restricted to `tile`-sized tiles,
+    computed in GLOBAL (H', W') layout with wall masks at tile borders.
 
-    def step(state):
-        lbl, _, it = state
+    Round 2 ran this on a (B, 16, 16) batch layout — only 16 of the 128
+    VPU lanes were active, and the convergence while_loop allowed up to
+    128 iterations (the 1.9 ms KHT loss in BENCH_DETAIL round 3). Full-
+    lane global layout with a fixed `iters` bound is ~4x cheaper; strings
+    longer than `iters` propagation steps inside one tile are snake-
+    shaped (a straight string crosses a 16px tile in <= 16 steps) and
+    stay split — they were never line-vote material anyway.
+
+    Labels are piece ids  tile_id * tile^2 + local_linear_index  of each
+    piece's minimum member; background = ty*tx*tile^2."""
+    hh, ww = ty * tile, tx * tile
+    fg = binary[:hh, :ww] > 0
+    big = jnp.int32(ty * tx * tile * tile)
+    gy = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+    tile_id = (gy // tile) * tx + (gx // tile)
+    lbl0 = jnp.where(fg, tile_id * (tile * tile)
+                     + (gy % tile) * tile + (gx % tile), big)
+    ly = gy % tile
+    lx = gx % tile
+    walls = {}
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if (dy, dx) == (0, 0):
+                continue
+            ok = jnp.ones((hh, ww), bool)
+            if dy == 1:
+                ok &= ly < tile - 1
+            if dy == -1:
+                ok &= ly > 0
+            if dx == 1:
+                ok &= lx < tile - 1
+            if dx == -1:
+                ok &= lx > 0
+            walls[(dy, dx)] = ok
+
+    def step(_, lbl):
+        # share column shifts across the three rows of each neighbor col
+        cols = {dx: (jnp.roll(lbl, -dx, axis=1) if dx else lbl)
+                for dx in (-1, 0, 1)}
         m = lbl
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if (dy, dx) == (0, 0):
                     continue
-                t = jnp.roll(jnp.roll(lbl, -dy, axis=1), -dx, axis=2)
-                ok = jnp.ones((1, tt, tt), bool)
-                if dy == 1:
-                    ok = ok & (rows < tt - 1)
-                if dy == -1:
-                    ok = ok & (rows > 0)
-                if dx == 1:
-                    ok = ok & (cols < tt - 1)
-                if dx == -1:
-                    ok = ok & (cols > 0)
-                m = jnp.minimum(m, jnp.where(ok, t, big))
-        new = jnp.where(fg, m, big)
-        return new, jnp.any(new != lbl), it + 1
+                t = (jnp.roll(cols[dx], -dy, axis=0) if dy else cols[dx])
+                m = jnp.minimum(m, jnp.where(walls[(dy, dx)], t, big))
+        return jnp.where(fg, m, big)
 
-    def cond(state):
-        return state[1] & (state[2] < max_iters)
-
-    lbl, _, _ = jax.lax.while_loop(
-        cond, step, (lbl0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
-    return lbl
+    return jax.lax.fori_loop(0, iters, step, lbl0)
 
 
 def cluster_statistics(binary: jax.Array, max_clusters: int = 512,
-                       tile: int = 16):
-    """Tile-subdivided clusters + per-cluster first/second moments.
+                       tile: int = 16, label_iters: int = 12):
+    """Tile-subdivided edge-string pieces + per-piece first/second moments.
 
     Returns (count (C,), mean (C,2), cov (C,2,2), valid (C,)).
 
-    Labels are TILE-LOCAL (< tile*tile) by construction, so the per-cluster
-    moment sums are batched factored-indicator matmuls over the tile batch
-    (ops/binsum.py) — no global component extraction, no scatter, no big
-    sorts (the round-1 extract_components path cost ~9.6 ms at HD; this is
-    MXU work on (B, tile^2, 16) indicators).  Moments accumulate in
-    tile-LOCAL coordinates (values < tile^2 — exact in f32; global x^2
-    sums lose the covariance to cancellation) and means shift back by the
-    tile offset, under which the covariance is invariant.  Cluster
-    selection reuses the FAST sort-free cutoff top-k on the (B, tile^2)
-    count grid."""
+    Per-piece moments are batched factored-indicator binsums
+    (ops/binsum.py) on the MXU. (A batched 256-wide lax.sort + fused
+    segmented-scan variant was tried in round 3 and measured 5x SLOWER
+    on-chip — many small sorts are an XLA-TPU weak spot; the binsum
+    indicators are the cheaper evil.)
+    Moments accumulate in tile-LOCAL coordinates (values < tile^2 — exact
+    in f32; global x^2 sums lose the covariance to cancellation) and
+    means shift back by the tile offset, under which the covariance is
+    invariant.  Piece selection reuses the FAST sort-free cutoff top-k on
+    the (B, tile^2) per-piece count grid.  `label_iters` = 12 bounds the
+    in-tile propagation: a straight string crosses a 16 px tile in <= 15
+    8-connected steps, and longer/curvier in-tile strings that stay split
+    are re-joined by merge_collinear_pieces anyway.  Cross-tile
+    fragmentation is likewise undone AFTER selection by
+    merge_collinear_pieces."""
     from .fast import _cutoff_select, _pack_key  # sort-free exact top-k
     h, w = binary.shape
     ty, tx = h // tile, w // tile
     b = ty * tx
     tt = tile * tile
-    tiles = binary[: ty * tile, : tx * tile] \
-        .reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3) \
-        .reshape(b, tile, tile)
-    local = _batched_label(tiles, max_iters=tt // 2)       # (B, t, t)
-    lab = local.reshape(b, tt)          # bins [0, tt); bg tt -> dropped
+    lbl = _tile_local_label(binary, tile, ty, tx, label_iters)
+    lab = lbl.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3) \
+        .reshape(b, tt)
+    lab = jnp.where(lab < b * tt, lab % tt, tt)   # local ids; bg -> tt
+    from ..ops import binsum
     xl = jnp.broadcast_to(
         jnp.arange(tile, dtype=jnp.float32)[None, None, :],
         (b, tile, tile)).reshape(b, tt)
@@ -115,31 +134,79 @@ def cluster_statistics(binary: jax.Array, max_clusters: int = 512,
     sxx = binsum.bincount_batched(lab, tt, xl * xl)
     sxy = binsum.bincount_batched(lab, tt, xl * yl)
     syy = binsum.bincount_batched(lab, tt, yl * yl)
+    count_grid = cnt
 
-    # top-K clusters by pixel count (counts clamp to 255 for the cutoff
-    # search; exact counts are re-read at the K selected slots)
+    # top-K pieces by pixel count (counts clamp to 255 for the cutoff
+    # search; exact stats are re-read at the K selected slots)
     assert b * tt < (1 << 22), (
-        "cluster grid exceeds the 22-bit packed-key index space "
+        "piece grid exceeds the 22-bit packed-key index space "
         f"({b}x{tt}); raise `tile` for >4K inputs")
-    cnt_u8 = jnp.clip(cnt, 0, 255).astype(jnp.uint8)
+    cnt_u8 = jnp.clip(count_grid, 0, 255).astype(jnp.uint8)
     keys = _cutoff_select(cnt_u8, max_clusters)
     sel = (keys & ((1 << 22) - 1)).astype(jnp.int32)
     picked = keys != _pack_key(jnp.int32(0), jnp.int32((1 << 22) - 1))
     bi = jnp.minimum(sel // tt, b - 1)
-    li = sel % tt
-    top_cnt = jnp.where(picked, cnt[bi, li], 0.0)
+    si = sel % tt
+    top_cnt = jnp.where(picked, count_grid[bi, si], 0.0)
     c = jnp.maximum(top_cnt, 1.0)
     offx = (bi % tx).astype(jnp.float32) * tile
     offy = (bi // tx).astype(jnp.float32) * tile
-    mx_l = sx[bi, li] / c
-    my_l = sy[bi, li] / c
-    cxx = sxx[bi, li] / c - mx_l * mx_l
-    cyy = syy[bi, li] / c - my_l * my_l
-    cxy = sxy[bi, li] / c - mx_l * my_l
+    mx_l = sx[bi, si] / c
+    my_l = sy[bi, si] / c
+    cxx = sxx[bi, si] / c - mx_l * mx_l
+    cyy = syy[bi, si] / c - my_l * my_l
+    cxy = sxy[bi, si] / c - mx_l * my_l
     cov = jnp.stack([jnp.stack([cxx, cxy], -1),
                      jnp.stack([cxy, cyy], -1)], -2)
     mean = jnp.stack([mx_l + offx, my_l + offy], -1)
-    return top_cnt, mean, cov, top_cnt >= 4.0  # clusters need >=4 px
+    return top_cnt, mean, cov, top_cnt >= 4.0
+
+
+def merge_collinear_pieces(cnt, mean, cov, valid, tol: float = 1.5,
+                           theta_tol: float = 0.15):
+    """Merge mutually-collinear tile pieces into one voting cluster
+    (round-2 VERDICT item 6 — the reference chains strings globally
+    before subdividing, houghkht.cxx:207+; tile subdivision must not make
+    one straight string vote as many independent noisy clusters).
+
+    Merge relation: each piece's mean lies within `tol` px of the other
+    piece's fitted line (both directions) AND line normals agree within
+    `theta_tol` — then transitive closure. Pixel connectivity is
+    deliberately NOT required: collinear pieces vote the same (rho,theta)
+    accumulator cell whether or not they touch (a dashed line IS one
+    Hough line), so merging them only sharpens the shared estimate, while
+    parallel-but-distinct strings farther than `tol` apart never merge.
+    Gently curved strings chain into one low-anisotropy cluster, which
+    the anisotropy weighting already down-weights, mirroring the
+    reference's variance-spread kernels. Merged moments combine in
+    deviation form (parallel-axis) to stay exact in f32. Returns
+    (cnt', mean', cov', valid') where only each group's representative
+    stays valid, carrying the group totals."""
+    k = cnt.shape[0]
+    rho, theta, _, _ = jax.vmap(_line_from_moments)(mean, cov)
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    d_ij = jnp.abs(ct[:, None] * mean[None, :, 0]
+                   + st[:, None] * mean[None, :, 1] - rho[:, None])
+    dth = jnp.abs(theta[:, None] - theta[None, :])
+    dth = jnp.minimum(dth, jnp.pi - dth)
+    vv = valid[:, None] & valid[None, :]
+    adj = vv & (d_ij < tol) & (d_ij.T < tol) & (dth < theta_tol)
+    adj = adj | jnp.eye(k, dtype=bool)
+    a = adj.astype(jnp.float32)
+    for _ in range(3):                 # transitive closure (paths <= 8)
+        a = jnp.minimum(a @ a, 1.0)
+    idxs = jnp.arange(k, dtype=jnp.int32)
+    rep = jnp.min(jnp.where(a > 0, idxs[None, :], k), axis=1)
+    is_rep = rep == idxs
+    n_m = a @ cnt
+    safe_n = jnp.maximum(n_m, 1.0)
+    mean_m = (a @ (cnt[:, None] * mean)) / safe_n[:, None]
+    dev = mean - mean_m                # per piece, valid for its group
+    dev4 = (dev[:, :, None] * dev[:, None, :]).reshape(k, 4)
+    contrib = cnt[:, None] * (cov.reshape(k, 4) + dev4)
+    cov_m = ((a @ contrib) / safe_n[:, None]).reshape(k, 2, 2)
+    return (jnp.where(is_rep, n_m, 0.0), mean_m, cov_m,
+            valid & is_rep & (n_m >= 4.0))
 
 
 def _line_from_moments(mean, cov):
@@ -174,6 +241,7 @@ def hough_lines_kht(edges: jax.Array, config: HoughConfig = HoughConfig(),
     n_rho = int(2 * np.ceil(diag / config.rho)) + 1
     n_theta = config.theta_steps
     cnt, mean, cov, valid = cluster_statistics(edges, max_clusters)
+    cnt, mean, cov, valid = merge_collinear_pieces(cnt, mean, cov, valid)
 
     rho, theta, aniso, lam_min = jax.vmap(_line_from_moments)(mean, cov)
     # straighter clusters (higher anisotropy) vote more sharply & strongly

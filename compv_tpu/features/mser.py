@@ -80,9 +80,21 @@ class MSERRegions(NamedTuple):
 
 
 def _component_table(lbl: jax.Array, cap: int, max_runs: int):
-    """(roots (C,), areas (C,)) of a labeled image, sorted ascending by
-    root, padded with root = n (the background sentinel orders after every
-    real root, keeping the table sorted for searchsorted)."""
+    """Per-component stats of a labeled image, sorted ascending by root,
+    padded with root = n (the background sentinel orders after every real
+    root, keeping the table sorted for searchsorted). Returns a dict with
+    roots, areas, x0, y0, x1, y1 (inclusive boxes), sx, sy (coordinate
+    sums for centroids) — all (cap,).
+
+    Flat-sort formulation (round 3): sort the full map's run starts by
+    root with sentinel keys and slice — a megapixel lax.sort is ~1 ms on
+    v5e while the round-2 butterfly-compaction + placement path cost
+    ~5 ms PER LEVEL (the mser 103 ms loss in BENCH_DETAIL round 3; see
+    ccl._sorted_run_table). Boxes/centroid sums ride the same single
+    multi-stat segmented scan so the final regions need NO per-region
+    full-map reductions (a traced-index lab_flat[t] row gather per region
+    was ~87 ms of round 3's re-measured mser — the vmapped dynamic-slice
+    gathered 64 x 1.33M elements)."""
     h, w = lbl.shape
     n = h * w
     fg = lbl < n
@@ -96,26 +108,38 @@ def _component_table(lbl: jax.Array, cap: int, max_runs: int):
 
     runlen, _ = jax.lax.associative_scan(
         op, (fg.astype(jnp.int32), ~fg), axis=1, reverse=True)
-    (r_root, r_len), r_valid, _ = compaction.compact(
-        start, (lbl, runlen), min(max_runs, n))
-    r_root = jnp.where(r_valid, r_root, n)
-    r_len = jnp.where(r_valid, r_len, 0)
-    s_root, s_len = jax.lax.sort((r_root, r_len), num_keys=1)
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    key = jnp.where(start, lbl, n).reshape(-1)
+    ln = jnp.where(start, runlen, 0).reshape(-1)
+    s_flat = jnp.where(start, idx, n).reshape(-1)
+    s_root, s_len, s_s = jax.lax.sort((key, ln, s_flat), num_keys=1)
+    m = min(max_runs, n)
+    s_root, s_len, s_s = s_root[:m], s_len[:m], s_s[:m]
+    rv = s_root < n
     new = jnp.concatenate([jnp.ones((1,), bool), s_root[1:] != s_root[:-1]])
-
-    def op2(a, b):
-        av, af = a
-        bv, bf = b
-        return (jnp.where(bf, bv, av + bv), af | bf)
-
-    csum, _ = jax.lax.associative_scan(op2, (s_len, new))
-    is_end = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
-    (roots, areas), c_valid, _ = compaction.compact(
-        (is_end & (s_root < n))[None, :],
-        (s_root[None, :], csum[None, :]), cap)
-    roots = jnp.where(c_valid, roots, n)
-    areas = jnp.where(c_valid, areas, 0)
-    return roots, areas
+    y = jnp.where(rv, (s_s // w).astype(jnp.float32), 0.0)
+    x0 = jnp.where(rv, (s_s % w).astype(jnp.float32), 0.0)
+    x1 = jnp.where(rv, x0 + s_len - 1, 0.0)
+    lnf = s_len.astype(jnp.float32)
+    sumx = jnp.where(rv, (x0 + x1) * lnf * 0.5, 0.0)   # arithmetic series
+    from .ccl import _seg_scan_multi
+    area, sx, sy, bx0, by0, bx1, by1 = _seg_scan_multi(
+        sums=(lnf, sumx, y * lnf),
+        mins=(jnp.where(rv, x0, w), jnp.where(rv, y, h)),
+        maxs=(jnp.where(rv, x1, -1.0), jnp.where(rv, y, -1.0)),
+        new=new)
+    is_end = jnp.concatenate([new[1:], jnp.ones((1,), bool)]) & rv
+    sent = jnp.where(is_end, s_root, n)
+    # one sentinel-key variadic sort compacts the per-component rows to
+    # the front in root order — no placement/gather step
+    roots, a_, sx_, sy_, x0_, y0_, x1_, y1_ = jax.lax.sort(
+        (sent, jnp.where(is_end, area, 0.0), jnp.where(is_end, sx, 0.0),
+         jnp.where(is_end, sy, 0.0), jnp.where(is_end, bx0, 0.0),
+         jnp.where(is_end, by0, 0.0), jnp.where(is_end, bx1, 0.0),
+         jnp.where(is_end, by1, 0.0)), num_keys=1)
+    return dict(roots=roots[:cap], areas=a_[:cap].astype(jnp.int32),
+                sx=sx_[:cap], sy=sy_[:cap], x0=x0_[:cap], y0=y0_[:cap],
+                x1=x1_[:cap], y1=y1_[:cap])
 
 
 def _rank_lookup(table_roots: jax.Array, table_vals: jax.Array,
@@ -126,6 +150,27 @@ def _rank_lookup(table_roots: jax.Array, table_vals: jax.Array,
     pos = jnp.minimum(pos, table_roots.shape[0] - 1)
     hit = (table_roots[pos] == queries) & (queries < n)
     return jnp.where(hit, table_vals[pos], miss), pos, hit
+
+
+def _rank_lookup_all_levels(table_roots: jax.Array, table_vals: jax.Array,
+                            queries: jax.Array, miss, n: int):
+    """(T, C) lookup of per-level sorted root tables in ONE searchsorted:
+    level blocks are made disjoint with a t*(n+1) key offset, under which
+    the flattened table stays globally sorted (roots <= n within a
+    level). Round 3 first vmapped per-level searchsorted(method='sort') —
+    32 small merge sorts cost 9.5 ms per chain call on-chip; one 524k
+    merge sort is ~6x cheaper. i32 keys hold T*(n+1) for any image this
+    framework targets (asserted)."""
+    t_count, c = table_roots.shape
+    assert t_count * (n + 1) < 2 ** 31, "key space exceeds int32"
+    base = (jnp.arange(t_count, dtype=jnp.int32) * jnp.int32(n + 1))[:, None]
+    tk = (jnp.minimum(table_roots, n) + base).reshape(-1)
+    qk = (jnp.minimum(queries, n) + base).reshape(-1)
+    pos = jnp.searchsorted(tk, qk, method="sort")
+    pos = jnp.minimum(pos, tk.shape[0] - 1)
+    hit = (tk[pos] == qk) & (queries.reshape(-1) < n)
+    out = jnp.where(hit, table_vals.reshape(-1)[pos], miss)
+    return out.reshape(t_count, c)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -140,42 +185,78 @@ def mser(img: jax.Array, config: MSERConfig = MSERConfig()) -> MSERRegions:
     d = config.delta
     cap = min(config.max_components_per_level, n)
 
+    _TBL = ("roots", "areas", "sx", "sy", "x0", "y0", "x1", "y1")
+
     def _level_compute(mask, prev_lbl):
-        lbl = ccl.label(mask.astype(jnp.uint8), config.connectivity,
-                        init=prev_lbl)
-        roots, areas = _component_table(lbl, cap, config.max_runs)
-        return lbl, roots, areas
+        # All-foreground shortcut: the top threshold level (x <= 255, and
+        # any saturated level) is ONE image-wide component whose label
+        # propagation would run to the iteration cap, yet its labeling is
+        # trivially all-zeros (root = min linear index = 0). Its area n
+        # is always > max_area so it can never be a region; only the
+        # chain lookups need it present in the table.
+        lbl = jax.lax.cond(
+            jnp.all(mask),
+            lambda: jnp.zeros((h, w), jnp.int32),
+            lambda: ccl.label(mask.astype(jnp.uint8), config.connectivity,
+                              init=prev_lbl))
+        tbl = _component_table(lbl, cap, config.max_runs)
+        return lbl, tuple(tbl[k] for k in _TBL)
 
     def per_level(carry, lv):
-        prev_mask, prev_lbl, prev_roots, prev_areas = carry
+        prev_mask, prev_lbl, prev_tbl = carry
         mask = x <= lv
         # skip unchanged levels entirely: on low-gray-count images (text
         # scans, the reference MSER workload class) most threshold steps
         # add NO pixels, and labeling + tables are the whole cost
-        lbl, roots, areas = jax.lax.cond(
+        lbl, tbl = jax.lax.cond(
             jnp.any(mask != prev_mask),
             lambda: _level_compute(mask, prev_lbl),
-            lambda: (prev_lbl, prev_roots, prev_areas))
-        return (mask, lbl, roots, areas), (lbl, roots, areas)
+            lambda: (prev_lbl, prev_tbl))
+        return (mask, lbl, tbl), (lbl, tbl)
 
+    init_tbl = (jnp.full((cap,), n, jnp.int32),
+                jnp.zeros((cap,), jnp.int32)) + tuple(
+        jnp.zeros((cap,), jnp.float32) for _ in range(6))
     init = (jnp.zeros((h, w), bool), jnp.full((h, w), n, jnp.int32),
-            jnp.full((cap,), n, jnp.int32), jnp.zeros((cap,), jnp.int32))
-    _, (labels, roots_t, areas_t) = jax.lax.scan(per_level, init, levels)
+            init_tbl)
+    _, (labels, tbl_t) = jax.lax.scan(per_level, init, levels)
+    roots_t, areas_t = tbl_t[0], tbl_t[1]
     lab_flat = labels.reshape(t_count, n)
+
+    def _shift_rows(a, offset):
+        """a[clip(arange(T)+offset, 0, T-1)] with STATIC slicing+repeat —
+        a traced-index row gather (round 3's first formulation) made XLA
+        gather 2 x 32 x 1.33M elements here, ~77 ms of the measured 86 ms
+        mser time; static concat is a copy at memory speed."""
+        if offset == 0:
+            return a
+        if offset > 0:
+            off = min(offset, a.shape[0] - 1)
+            rep = jnp.repeat(a[-1:], off, axis=0)
+            return jnp.concatenate([a[off:], rep], axis=0)
+        off = min(-offset, a.shape[0] - 1)
+        rep = jnp.repeat(a[:1], off, axis=0)
+        return jnp.concatenate([rep, a[:-off]], axis=0)
+
+    def _lab_at_roots(src):
+        """(T, C) label of each level-t root pixel in `src` (T, n):
+        one FLAT 1-D gather — the 2-D batched take_along_axis lowered to
+        a ~20 ns/element gather on this chip (5.2 ms per chain call)."""
+        t_base = (jnp.arange(t_count, dtype=jnp.int32)
+                  * jnp.int32(n))[:, None]
+        flat = (jnp.minimum(roots_t, n - 1) + t_base).reshape(-1)
+        return src.reshape(-1)[flat].reshape(t_count, -1)
 
     def chain_area(offset):
         """(T, C) area of the component containing root c at level
         t+offset, CLAMPED at the sweep edges (the reference/old per-pixel
         formulation reuses the first/last level there); 0 where that pixel
         is background at the source level."""
-        src_t = jnp.clip(jnp.arange(t_count) + offset, 0, t_count - 1)
-        src = lab_flat[src_t]                            # (T, n)
-        g = jnp.take_along_axis(
-            src, jnp.minimum(roots_t, n - 1), axis=1)   # (T, C)
-        g = jnp.where(roots_t < n, g, n)
-        area, _, _ = jax.vmap(
-            lambda tr, tv, q: _rank_lookup(tr, tv, q, 0, n))(
-            roots_t[src_t], areas_t[src_t], g)
+        src = _shift_rows(lab_flat, offset)              # (T, n)
+        g = jnp.where(roots_t < n, _lab_at_roots(src), n)
+        area = _rank_lookup_all_levels(
+            _shift_rows(roots_t, offset), _shift_rows(areas_t, offset),
+            g, 0, n)
         return area.astype(jnp.float32)
 
     af = areas_t.astype(jnp.float32)
@@ -188,17 +269,13 @@ def mser(img: jax.Array, config: MSERConfig = MSERConfig()) -> MSERRegions:
     # stability: local minimum of variation along each root's chain
     def chain_variation(offset):
         src = jnp.roll(lab_flat, -offset, axis=0)
-        g = jnp.take_along_axis(src, jnp.minimum(roots_t, n - 1), axis=1)
-        g = jnp.where(roots_t < n, g, n)
+        g = _lab_at_roots(src)
         t_ok = ((jnp.arange(t_count) + offset >= 0)
                 & (jnp.arange(t_count) + offset < t_count))[:, None]
-        g = jnp.where(t_ok, g, n)
-        shifted_roots = jnp.roll(roots_t, -offset, axis=0)
-        shifted_var = jnp.roll(variation, -offset, axis=0)
-        v, _, _ = jax.vmap(
-            lambda tr, tv, q: _rank_lookup(tr, tv, q, jnp.inf, n))(
-            shifted_roots, shifted_var, g)
-        return v
+        g = jnp.where(t_ok & (roots_t < n), g, n)
+        return _rank_lookup_all_levels(
+            jnp.roll(roots_t, -offset, axis=0),
+            jnp.roll(variation, -offset, axis=0), g, jnp.inf, n)
 
     v_prev = chain_variation(-1)
     v_next = chain_variation(1)
@@ -223,24 +300,26 @@ def mser(img: jax.Array, config: MSERConfig = MSERConfig()) -> MSERRegions:
     t_idx = c_t[pos]
     root = c_root[pos]
 
-    # per-region features from its level's label map (K masked reductions)
-    ys = (jnp.arange(n, dtype=jnp.int32) // w)
-    xs = (jnp.arange(n, dtype=jnp.int32) % w)
-
-    def region_feats(t, r):
-        m = lab_flat[t] == r
-        cnt = jnp.sum(m)
-        x0 = jnp.min(jnp.where(m, xs, w))
-        x1 = jnp.max(jnp.where(m, xs, -1))
-        y0 = jnp.min(jnp.where(m, ys, h))
-        y1 = jnp.max(jnp.where(m, ys, -1))
-        c = jnp.maximum(cnt, 1).astype(jnp.float32)
-        cx = jnp.sum(jnp.where(m, xs, 0)) / c
-        cy = jnp.sum(jnp.where(m, ys, 0)) / c
-        return cnt, jnp.stack([x0, y0, x1, y1]), jnp.stack([cx, cy])
-
-    cnt, boxes, cents = jax.vmap(region_feats)(
-        jnp.minimum(t_idx, t_count - 1), jnp.where(valid, root, -1))
+    # per-region features from the stacked per-level component tables via
+    # ONE one-hot matmul (round 3: the old per-region full-map reduction
+    # used lab_flat[t] with a TRACED t inside vmap — a batched row gather
+    # of 64 x 1.33M elements, ~87 ms of the measured 95 ms)
+    t_sel = jnp.minimum(t_idx, t_count - 1)
+    r_sel = jnp.where(valid, root, -1)
+    roots_flat = roots_t.reshape(-1)                      # (T*C,)
+    t_of = jnp.repeat(jnp.arange(t_count, dtype=jnp.int32), cap)
+    match = ((t_of[None, :] == t_sel[:, None])
+             & (roots_flat[None, :] == r_sel[:, None])).astype(jnp.float32)
+    feats = jnp.stack([tbl_t[1].reshape(-1).astype(jnp.float32),
+                       tbl_t[2].reshape(-1), tbl_t[3].reshape(-1),
+                       tbl_t[4].reshape(-1), tbl_t[5].reshape(-1),
+                       tbl_t[6].reshape(-1), tbl_t[7].reshape(-1)], 1)
+    got = match @ feats                                   # (K, 7)
+    cnt = got[:, 0].astype(jnp.int32)
+    c = jnp.maximum(got[:, 0], 1.0)
+    cents = jnp.stack([got[:, 1] / c, got[:, 2] / c], 1)
+    boxes = jnp.stack([got[:, 3], got[:, 4], got[:, 5], got[:, 6]],
+                      1).astype(jnp.int32)
     return MSERRegions(
         levels=jnp.where(valid, levels[jnp.minimum(t_idx, t_count - 1)], 0),
         areas=jnp.where(valid, cnt, 0).astype(jnp.int32),

@@ -49,22 +49,37 @@ class SVMModel(NamedTuple):
     classes: jax.Array      # (2,) original labels
 
 
+def _project_box_plane(a: jax.Array, y: jax.Array, c: float) -> jax.Array:
+    """EXACT Euclidean projection onto {0 <= a <= C, yᵀa = 0}: the KKT
+    form is clip(a - lam*y, 0, C) with lam solving yᵀclip(a - lam*y) = 0,
+    which is monotone nonincreasing in lam — 50 bisection steps find it
+    to f32 precision. (Round 3 fix: the previous 10-round alternating
+    box/plane projection is NOT the intersection projection, and the
+    solver stalled at a 17% duality gap that no iteration count could
+    close — measured on digits 3-vs-8, tests/test_svm_rigor.py.)"""
+    bound = jnp.max(jnp.abs(a)) + c + 1.0
+
+    def body(_, lh):
+        lo, hi = lh
+        mid = 0.5 * (lo + hi)
+        g = jnp.sum(y * jnp.clip(a - mid * y, 0.0, c))
+        return (jnp.where(g > 0, mid, lo), jnp.where(g > 0, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, 50, body, (-bound, bound))
+    lam = 0.5 * (lo + hi)
+    return jnp.clip(a - lam * y, 0.0, c)
+
+
 def _solve_dual(k: jax.Array, y: jax.Array, c: float, iters: int,
                 tol: float) -> jax.Array:
     """Maximize sum(a) - 0.5 aᵀQa  s.t. 0 <= a <= C, yᵀa = 0, Q = y yᵀ * K.
-    Projected gradient with per-step optimal step size, then projection onto
-    the box + hyperplane (alternating projections, a few rounds)."""
+    FISTA-accelerated projected gradient ascent with the EXACT
+    box-plane projection (duality gap checked against real libsvm in
+    tests/test_svm_rigor.py)."""
     n = y.shape[0]
     q = (y[:, None] * y[None, :]) * k
     # step <= 1/lambda_max(Q); Gershgorin bound: max row sum of |Q|
     lr = 1.0 / jnp.maximum(jnp.max(jnp.sum(jnp.abs(q), axis=1)), 1e-8)
-
-    def project(a):
-        # alternate equality-plane projection and box clip (Dykstra-lite)
-        def one(_, a):
-            a = a - y * (jnp.dot(y, a) / n)
-            return jnp.clip(a, 0.0, c)
-        return jax.lax.fori_loop(0, 10, one, a)
 
     def step(t, carry):
         a, a_prev = carry
@@ -72,10 +87,10 @@ def _solve_dual(k: jax.Array, y: jax.Array, c: float, iters: int,
         beta = t / (t + 3.0)
         z = a + beta * (a - a_prev)
         grad = 1.0 - q @ z
-        return (project(z + lr * grad), a)
+        return (_project_box_plane(z + lr * grad, y, c), a)
 
     a0 = jnp.full((n,), min(c * 0.5, 1e-2), jnp.float32)
-    a0 = project(a0)
+    a0 = _project_box_plane(a0, y, c)
     a, _ = jax.lax.fori_loop(0, iters, step, (a0, a0))
     return a
 

@@ -82,13 +82,36 @@ def yuv444_to_rgb(y, u, v):
     return _yuv_to_rgb_int(y, u, v)
 
 
+def _upsample2x_nearest(p: jax.Array, h: int, w: int) -> jax.Array:
+    """2x nearest-neighbor upsample of a (..., h/2, w/2) u8 plane to
+    (..., h, w) i32 via one-hot MXU matmuls.
+
+    jnp.repeat along the lane (minor) axis is an interleave relayout on
+    TPU (~100 us at HD — it made yuv420_to_rgb LOSE to the reference's
+    CPU asm, BENCH_DETAIL round 3); a duplication matrix ridden on the
+    MXU is exact for u8 in bf16 (0/1 indicators, single product per
+    output) and runs at matmul speed instead."""
+    hh, hw = p.shape[-2], p.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, hh), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, hh), 1)
+    s_r = (rows // 2 == cols).astype(jnp.bfloat16)          # (h, h/2)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (hw, w), 0)
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (hw, w), 1)
+    s_c = (cols2 // 2 == rows2).astype(jnp.bfloat16)        # (w/2, w)
+    half = jnp.einsum("rk,...kc->...rc", s_r, p.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    full = jnp.einsum("...rk,kc->...rc", half.astype(jnp.bfloat16), s_c,
+                      preferred_element_type=jnp.float32)
+    return full.astype(jnp.int32)
+
+
 def yuv420_to_rgb(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     """Planar YUV420 -> RGB24; chroma upsampled by nearest (as the reference's
-    SIMD kernels duplicate each chroma sample over a 2x2 luma block)."""
-    up = jnp.repeat(jnp.repeat(u, 2, axis=-2), 2, axis=-1)
-    vp = jnp.repeat(jnp.repeat(v, 2, axis=-2), 2, axis=-1)
-    up = up[..., : y.shape[-2], : y.shape[-1]]
-    vp = vp[..., : y.shape[-2], : y.shape[-1]]
+    SIMD kernels duplicate each chroma sample over a 2x2 luma block).
+    The upsample rides the MXU (see _upsample2x_nearest)."""
+    h, w = y.shape[-2], y.shape[-1]
+    up = _upsample2x_nearest(u, h, w)
+    vp = _upsample2x_nearest(v, h, w)
     return _yuv_to_rgb_int(y, up, vp)
 
 
@@ -162,24 +185,37 @@ def rgb_to_uyvy422(rgb: jax.Array) -> jax.Array:
 
 
 def rgb_to_hsv(rgb: jax.Array) -> jax.Array:
-    """RGB -> HSV, 8-bit ranges H in [0,255] (reference scales H to 0..255,
-    compv_image_conv_hsv.cxx): H = 43*sector + offset, S = 255*delta/maxv."""
-    rgbf = rgb.astype(jnp.float32)
-    r, g, b = rgbf[..., 0], rgbf[..., 1], rgbf[..., 2]
-    maxv = jnp.maximum(jnp.maximum(r, g), b)
-    minv = jnp.minimum(jnp.minimum(r, g), b)
-    delta = maxv - minv
-    safe_delta = jnp.where(delta == 0, 1.0, delta)
-    # hue sector selection
-    h_r = (g - b) / safe_delta          # max == r
-    h_g = 2.0 + (b - r) / safe_delta    # max == g
-    h_b = 4.0 + (r - g) / safe_delta    # max == b
-    h6 = jnp.where(maxv == r, h_r, jnp.where(maxv == g, h_g, h_b))
-    h6 = jnp.where(delta == 0, 0.0, h6)
-    h = (h6 * (255.0 / 6.0)) % 255.0
-    s = jnp.where(maxv == 0, 0.0, 255.0 * delta / jnp.where(maxv == 0, 1.0, maxv))
+    """RGB -> HSV with the reference's EXACT 8-bit semantics
+    (compv_image_conv_hsv.cxx:289-306): H = u8(round_half_away(43 * diff /
+    minus)) + {0, 85, 171} with u8 wraparound, S = u8(round_half_away(255
+    * minus / max)), V = max.  The reference reads 1/minus and 1/max from
+    float32 tables; a per-pixel LUT gather is a TPU anti-pattern, so we
+    use live f32 division — within 1 ulp of the table (tests assert
+    exactness against a NumPy oracle using the same f32 division,
+    tests/test_scalar_oracles.py)."""
+    r = rgb[..., 0].astype(jnp.int32)
+    g = rgb[..., 1].astype(jnp.int32)
+    b = rgb[..., 2].astype(jnp.int32)
+    maxv = jnp.maximum(r, jnp.maximum(g, b))
+    minv = jnp.minimum(r, jnp.minimum(g, b))
+    minus = maxv - minv
+    diff = jnp.where(maxv == r, g - b, jnp.where(maxv == g, b - r, r - g))
+    inv_minus = jnp.where(
+        minus > 0, 43.0 / jnp.maximum(minus, 1).astype(jnp.float32), 0.0)
+    inv_max = jnp.where(
+        maxv > 0, 255.0 / jnp.maximum(maxv, 1).astype(jnp.float32), 0.0)
+    s43 = diff.astype(jnp.float32) * inv_minus
+    s255 = minus.astype(jnp.float32) * inv_max
+
+    def round_away(x):   # C (int)(x +- 0.5): half away from zero
+        return (jnp.floor(jnp.abs(x) + 0.5)
+                * jnp.sign(x)).astype(jnp.int32)
+
+    offs = jnp.where(maxv == r, 0, jnp.where(maxv == g, 85, 171))
+    h = ((round_away(s43) & 255) + offs) & 255
+    s = round_away(s255)
     hsv = jnp.stack([h, s, maxv], axis=-1)
-    return jnp.clip(jnp.round(hsv), 0, 255).astype(jnp.uint8)
+    return hsv.astype(jnp.uint8)
 
 
 def yuv420_to_hsv(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:

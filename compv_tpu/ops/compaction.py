@@ -57,15 +57,30 @@ def compact(valid: jax.Array, payloads: tuple, cap: int):
 
     Returns (payloads (cap,), out_valid (cap,), total int32).  The first
     min(total, cap) slots hold the valid elements in row-major scan order;
-    elements beyond `cap` are dropped (check `total`)."""
+    elements beyond `cap` are dropped (check `total`).
+
+    Placement: each output slot g needs the row whose half-open offset
+    interval contains g.  A broadcast compare against all H row offsets
+    costs a (cap, H) matrix — ~11 ms at cap 262k (the ccl_extract loss in
+    BENCH_DETAIL round 3).  Instead scatter each nonempty row's index at
+    its start offset and take a running max: row offsets are strictly
+    increasing over nonempty rows, so cummax reconstructs the interval
+    map in O(cap)."""
     ps, counts = compact_rows(valid, payloads)
+    hh = counts.shape[0]
     row_off = jnp.cumsum(counts) - counts
     total = jnp.sum(counts)
-    g = jnp.arange(cap, dtype=jnp.int32)
-    # row of the g-th global survivor: #rows whose offset <= g, minus 1
-    row_g = jnp.sum((row_off[None, :] <= g[:, None]).astype(jnp.int32),
-                    axis=1) - 1
-    slot_g = jnp.clip(g - row_off[row_g], 0, valid.shape[1] - 1)
-    out_valid = g < total
+    nonempty = counts > 0
+    rows = jnp.arange(hh, dtype=jnp.int32)
+    scat_idx = jnp.where(nonempty, row_off, cap)      # empties -> dropped
+    z = jnp.zeros((cap,), jnp.int32).at[scat_idx].max(
+        jnp.where(nonempty, rows, 0), mode="drop")
+    row_g = jax.lax.cummax(z)
+    o = jnp.zeros((cap,), jnp.int32).at[scat_idx].max(
+        jnp.where(nonempty, row_off, 0), mode="drop")
+    off_g = jax.lax.cummax(o)
+    slot_g = jnp.clip(jnp.arange(cap, dtype=jnp.int32) - off_g, 0,
+                      valid.shape[1] - 1)
+    out_valid = jnp.arange(cap, dtype=jnp.int32) < total
     out = tuple(p[row_g, slot_g] for p in ps)
     return out, out_valid, total

@@ -55,22 +55,11 @@ def main():
     stages = {}
     stages["strengths+nms (pallas)"] = bench(kern, img)
     stages["full fast_detect"] = bench(lambda x: F.fast_detect(x, cfg), img)
-
-    # selection sub-stages on a precomputed strengths map
-    def cutoff_only(s):
-        si = s.astype(jnp.int32)
-        def bs(carry, _):
-            lo, hi = carry
-            mid = (lo + hi) // 2
-            over = jnp.sum((si >= mid).astype(jnp.int32)) > 2000
-            return (jnp.where(over, mid + 1, lo),
-                    jnp.where(over, hi, mid)), None
-        (c, _), _ = jax.lax.scan(bs, (jnp.int32(1), jnp.int32(256)),
-                                 None, length=8)
-        return c
-    stages["cutoff bsearch"] = bench(cutoff_only, s0)
     stages["full select (cutoff_select)"] = bench(
         lambda s: F._cutoff_select(s, 2000, True), s0)
+    stages["select batch8 (vmap)"] = bench(
+        lambda s: jax.vmap(lambda m: F._cutoff_select(m, 2000, True))(s),
+        jnp.stack([jnp.roll(s0, i, axis=1) for i in range(8)]))
     stages["lax.top_k reference"] = bench(
         lambda s: jax.lax.top_k(s.reshape(-1).astype(jnp.float32), 2000), s0)
 

@@ -56,3 +56,80 @@ class TestKHT:
         # the top line is the segment
         assert abs(float(lines.theta[0]) - np.pi / 2) < 0.1
         assert abs(float(lines.rho[0]) - 64) <= 2
+
+
+class TestCrossTileMerge:
+    """Round-2 VERDICT item 6: strings crossing 16-px tile borders must
+    vote as ONE cluster (exact global connectivity + collinear merge),
+    matching the reference's global string chaining
+    (houghkht.cxx:207+, linking_AppendixA)."""
+
+    def _long_diagonals(self):
+        edges = np.zeros((256, 256), np.uint8)
+        for i in range(8, 248):              # 15 tiles long, 45 degrees
+            edges[i, i] = 255
+        for i in range(16, 240):             # second diagonal, offset
+            edges[i, 255 - i] = 255
+        edges[128, 8:248] = 255              # horizontal, 15 tiles
+        return edges
+
+    def test_same_line_set_as_sht(self):
+        from compv_tpu.features import hough_sht
+        edges = self._long_diagonals()
+        cfg = HoughConfig(threshold=40, max_lines=8)
+        klines, _ = hough_kht.hough_lines_kht(jnp.asarray(edges), cfg)
+        slines = hough_sht.hough_lines_sht(jnp.asarray(edges),
+                                           HoughConfig(threshold=100,
+                                                       max_lines=8))
+        kn, sn = int(klines.count), int(slines.count)
+        assert sn >= 3
+
+        def line_set(lines, m):
+            return [(float(lines.rho[i]), float(lines.theta[i]))
+                    for i in range(m)]
+
+        kset = line_set(klines, kn)
+        # every SHT line is found by KHT within quantization tolerance
+        for sr, st_ in line_set(slines, sn):
+            found = any(abs(sr - kr) <= 4 and
+                        min(abs(st_ - kt), np.pi - abs(st_ - kt)) <= 0.1
+                        for kr, kt in kset)
+            assert found, (sr, st_, kset)
+
+    def test_no_duplicate_split_votes(self):
+        """One straight string spanning many tiles must yield exactly one
+        KHT line, not per-tile fragments (nearby rho/theta duplicates)."""
+        edges = np.zeros((256, 256), np.uint8)
+        for i in range(8, 248):
+            edges[i, i] = 255
+        lines, _ = hough_kht.hough_lines_kht(
+            jnp.asarray(edges), HoughConfig(threshold=20, max_lines=8))
+        n = int(lines.count)
+        assert n >= 1
+        rho = np.asarray(lines.rho)[:n]
+        theta = np.asarray(lines.theta)[:n]
+        # cluster reported lines by proximity: all must collapse to 1 line
+        close = 0
+        for i in range(n):
+            if (abs(rho[i] - rho[0]) <= 6
+                    and min(abs(theta[i] - theta[0]),
+                            np.pi - abs(theta[i] - theta[0])) <= 0.12):
+                close += 1
+        assert close == n, (rho, theta)   # no far-off spurious lines
+        assert n <= 2                      # accumulator NMS may keep <=2
+
+    def test_merged_string_outvotes_fragments(self):
+        """The merged long string must vote with its FULL pixel count:
+        its peak strength clearly exceeds a short segment's."""
+        edges = np.zeros((256, 256), np.uint8)
+        for i in range(8, 248):
+            edges[i, i] = 255               # 240-px string over 15 tiles
+        edges[40, 200:230] = 255            # 30-px segment inside one tile+
+        lines, _ = hough_kht.hough_lines_kht(
+            jnp.asarray(edges), HoughConfig(threshold=10, max_lines=8))
+        n = int(lines.count)
+        assert n >= 2
+        s = np.asarray(lines.strength)[:n].astype(float)
+        # top line is the long diagonal and dominates
+        assert abs(float(lines.theta[0]) - 3 * np.pi / 4) < 0.1
+        assert s[0] >= 3.0 * s[1]

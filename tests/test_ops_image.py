@@ -20,6 +20,17 @@ class TestColor:
         g2 = ref_ops.rgb_to_gray(rgb_image)
         np.testing.assert_array_equal(g1, g2)
 
+    def test_upsample2x_matmul_exact_vs_repeat(self, rng):
+        """The MXU one-hot upsample (BENCH_DETAIL round-3 yuv420 fix) must
+        be BIT-identical to nearest-neighbor jnp.repeat, including odd
+        output sizes."""
+        for h, w in ((120, 160), (121, 161), (2, 2)):
+            p = jnp.asarray(rng.integers(
+                0, 256, ((h + 1) // 2, (w + 1) // 2), np.uint8))
+            ours = np.asarray(color._upsample2x_nearest(p, h, w))
+            ref = np.repeat(np.repeat(np.asarray(p), 2, 0), 2, 1)[:h, :w]
+            np.testing.assert_array_equal(ours, ref.astype(np.int32))
+
     def test_yuv420_roundtrip(self, rgb_image):
         y, u, v = color.rgb_to_yuv420(jnp.asarray(rgb_image))
         assert y.shape == rgb_image.shape[:2]

@@ -5,7 +5,13 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from compv_tpu.core.config import OrbConfig
 from compv_tpu.slam import camera, vo
+
+# round-3: VOConfig defaults moved to reference scale (16k landmarks,
+# 8-level/2000-feature ORB); tests keep the old small shapes for CPU speed
+_SMALL = dict(max_landmarks=4096, max_obs_per_frame=512,
+              orb=OrbConfig(levels=4, max_features=512))
 
 
 @pytest.fixture(scope="module")
@@ -36,7 +42,7 @@ def scene():
 class TestVO:
     def test_full_trajectory(self, scene):
         intr, frames, gt = scene
-        odo = vo.VisualOdometry(intr, vo.VOConfig())
+        odo = vo.VisualOdometry(intr, vo.VOConfig(**_SMALL))
         # init from matched correspondences between frames 0 and 1: use the
         # shared descriptor identity to build the pairs (simulating matching)
         uv0, d0 = frames[0]
@@ -74,7 +80,7 @@ class TestVO:
         """Windowed BA refine() must not worsen the trajectory and must
         leave finite state."""
         intr, frames, gt = scene
-        odo = vo.VisualOdometry(intr, vo.VOConfig())
+        odo = vo.VisualOdometry(intr, vo.VOConfig(**_SMALL))
         uv0, d0 = frames[0]
         uv1, d1 = frames[1]
         key0 = d0[:, 0].astype(np.int64)
@@ -102,7 +108,7 @@ class TestVO:
         trajectory tail, add a loop edge equal to the TRUE relative pose,
         optimize, drift shrinks."""
         intr, frames, gt = scene
-        odo = vo.VisualOdometry(intr, vo.VOConfig())
+        odo = vo.VisualOdometry(intr, vo.VOConfig(**_SMALL))
         gt_poses = [np.asarray(w, np.float32) for w in gt]
         odo.trajectory = [p.copy() for p in gt_poses]
         odo.trajectory[-1][3:] += np.asarray([0.15, -0.1, 0.08])  # drift
@@ -118,7 +124,7 @@ class TestVO:
     def test_detect_loop_finds_revisit(self):
         rng = np.random.default_rng(5)
         intr = camera.Intrinsics.make(100.0, 100.0, 64.0, 48.0)
-        odo = vo.VisualOdometry(intr, vo.VOConfig())
+        odo = vo.VisualOdometry(intr, vo.VOConfig(**_SMALL))
         bits_a = jnp.asarray(rng.integers(0, 2 ** 32, (512, 8),
                                           dtype=np.uint64).astype(np.uint32))
         bits_b = jnp.asarray(rng.integers(0, 2 ** 32, (512, 8),
