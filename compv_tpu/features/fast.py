@@ -220,19 +220,32 @@ def _cutoff_select(strengths: jax.Array, k: int,
     # whole rows while cum_ex < r covers the needed set; at most one
     # row's worth (<= w) of extra ties rides along and the final small
     # sort cuts exactly.
-    row_tot = jnp.sum(eq.astype(jnp.int32), axis=1)
-    cum_ex = jnp.cumsum(row_tot) - row_tot
-    sel = strict | (eq & (cum_ex < r)[:, None])
-    key_c = jnp.where(sel, key_p, _PAD_KEY)
+    from ..kernels.dispatch import pallas_enabled
+    if pallas_enabled():
+        cap = k        # the kernel's tie cut is exact: total selected <= k
+        # selection mask, tie budgeting and ALL butterfly stages in one
+        # VMEM-resident Pallas pass (kernels/fast_select.py) — the XLA
+        # butterfly below re-reads/re-writes the key map per stage
+        # (~96 us/frame of HBM traffic at HD batch 8 vs ~17 fused)
+        from ..kernels.fast_select import select_compact
+        bounds = jnp.stack([strict_bound,
+                            jnp.where(c > 1, eq_bound, strict_bound),
+                            r]).astype(jnp.int32)
+        ck, counts = select_compact(key_p, bounds)
+    else:
+        row_tot = jnp.sum(eq.astype(jnp.int32), axis=1)
+        cum_ex = jnp.cumsum(row_tot) - row_tot
+        sel = strict | (eq & (cum_ex < r)[:, None])
+        key_c = jnp.where(sel, key_p, _PAD_KEY)
 
-    # butterfly compaction on 128-lane segments: reshape each row into
-    # its lane segments as extra rows — 7 roll+select stages instead of
-    # log2(W); row-major order is preserved (segments of a row stay in
-    # order), so placement semantics are unchanged.
-    hh, ww = key_c.shape
-    key_c = key_c.reshape(hh * (ww // _SEG), _SEG)
-    cap = k + w                               # k strict + <= one row of ties
-    ck, counts = _compact_rows(key_c, _PAD_KEY)
+        # butterfly compaction on 128-lane segments: reshape each row
+        # into its lane segments as extra rows — 7 roll+select stages
+        # instead of log2(W); row-major order is preserved (segments of
+        # a row stay in order), so placement semantics are unchanged.
+        hh, ww = key_c.shape
+        key_c = key_c.reshape(hh * (ww // _SEG), _SEG)
+        cap = k + w                       # k strict + <= one row of ties
+        ck, counts = _compact_rows(key_c, _PAD_KEY)
     nrows = counts.shape[0]
     row_off = jnp.cumsum(counts) - counts
     total = jnp.sum(counts)
@@ -250,7 +263,9 @@ def _cutoff_select(strengths: jax.Array, k: int,
     off_g = jax.lax.cummax(o)
     g = jnp.arange(cap, dtype=jnp.int32)
     slot_g = jnp.clip(g - off_g, 0, ck.shape[1] - 1)
-    keys = ck[row_g, slot_g]
+    # flat 1-D gather: the 2-D (row_g, slot_g) form lowered ~2x slower
+    # on-chip (48 vs 27 us/frame for the same elements, 2026-08-19)
+    keys = ck.reshape(-1)[row_g * ck.shape[1] + slot_g]
     keys = jnp.where(g < total, keys, _PAD_KEY)
     return jax.lax.sort(keys)[:k]
 

@@ -182,7 +182,7 @@ def mser(img: jax.Array, config: MSERConfig = MSERConfig()) -> MSERRegions:
     levels = jnp.arange(config.level_step - 1, 256, config.level_step,
                         dtype=jnp.int32)
     t_count = int(levels.shape[0])
-    d = config.delta
+    d = min(config.delta, t_count - 1)
     cap = min(config.max_components_per_level, n)
 
     _TBL = ("roots", "areas", "sx", "sy", "x0", "y0", "x1", "y1")
@@ -202,83 +202,131 @@ def mser(img: jax.Array, config: MSERConfig = MSERConfig()) -> MSERRegions:
         tbl = _component_table(lbl, cap, config.max_runs)
         return lbl, tuple(tbl[k] for k in _TBL)
 
+    def _containment(lbl_src, roots_src, areas_src, roots_q):
+        """(area, pos, hit) of the component CONTAINING each query root
+        pixel in a source level's labeling/table: one (cap,)-sized gather
+        from the 5 MB label map + a 2*cap-element searchsorted. Round 3's
+        post-hoc chains gathered (T*cap,) from the full (T, n) label
+        stack — 9+ ms per chain call; inside the sweep the source level
+        is just the scan carry and each lookup is ~0.1 ms."""
+        g = jnp.where(roots_q < n,
+                      lbl_src.reshape(-1)[jnp.minimum(roots_q, n - 1)], n)
+        pos = jnp.searchsorted(roots_src, g, method="sort")
+        pos = jnp.minimum(pos, cap - 1)
+        hit = (roots_src[pos] == g) & (g < n)
+        area = jnp.where(hit, areas_src[pos], 0).astype(jnp.float32)
+        return area, pos.astype(jnp.int32), hit
+
+    def _identity_maps(tbl):
+        """Containment of a table's own roots in its own level: pos is
+        the identity, area is the own area (the unchanged-mask fast path
+        and the t=0 clamped row)."""
+        live_r = tbl[0] < n
+        pos = jnp.arange(cap, dtype=jnp.int32)
+        return (jnp.where(live_r, tbl[1], 0).astype(jnp.float32), pos,
+                live_r)
+
+    # level 0 runs OUTSIDE the scan so the ring buffer (the last `d`
+    # levels' labelings+tables, clamped at the low edge with level-0
+    # copies) has a concrete init — this IS the old _shift_rows edge
+    # clamping, and keeping the chain lookups inside the sweep removes
+    # the (T, n) stacked-labels output entirely (160 MB of HBM at the
+    # reference MSER workload) along with the post-hoc megagathers.
+    mask0 = x <= levels[0]
+    lbl0, tbl0 = _level_compute(mask0, jnp.full((h, w), n, jnp.int32))
+    up0 = _identity_maps(tbl0)
+    down0 = _identity_maps(tbl0)
+    ring_lbl0 = jnp.repeat(lbl0[None], d, axis=0)          # (d, h, w)
+    ring_tbl0 = tuple(jnp.repeat(a[None], d, axis=0) for a in tbl0)
+
     def per_level(carry, lv):
-        prev_mask, prev_lbl, prev_tbl = carry
+        prev_mask, ring_lbl, ring_tbl = carry
+        prev_lbl = ring_lbl[d - 1]
+        prev_tbl = tuple(a[d - 1] for a in ring_tbl)
         mask = x <= lv
-        # skip unchanged levels entirely: on low-gray-count images (text
-        # scans, the reference MSER workload class) most threshold steps
-        # add NO pixels, and labeling + tables are the whole cost
-        lbl, tbl = jax.lax.cond(
-            jnp.any(mask != prev_mask),
-            lambda: _level_compute(mask, prev_lbl),
-            lambda: (prev_lbl, prev_tbl))
-        return (mask, lbl, tbl), (lbl, tbl)
+        changed = jnp.any(mask != prev_mask)
 
-    init_tbl = (jnp.full((cap,), n, jnp.int32),
-                jnp.zeros((cap,), jnp.int32)) + tuple(
-        jnp.zeros((cap,), jnp.float32) for _ in range(6))
-    init = (jnp.zeros((h, w), bool), jnp.full((h, w), n, jnp.int32),
-            init_tbl)
-    _, (labels, tbl_t) = jax.lax.scan(per_level, init, levels)
+        def compute():
+            lbl, tbl = _level_compute(mask, prev_lbl)
+            # up: containment of the level-(t-d) and level-(t-1) roots in
+            # THIS level (area_hi for t-d; v_next pos for t-1) — for
+            # d == 1 those coincide
+            up = _containment(lbl, tbl[0], tbl[1], ring_tbl[0][0])
+            upv = up if d == 1 else _containment(lbl, tbl[0], tbl[1],
+                                                 ring_tbl[0][d - 1])
+            # down: containment of THIS level's roots at t-d (area_lo)
+            # and t-1 (v_prev pos)
+            dn = _containment(ring_lbl[0], ring_tbl[0][0], ring_tbl[1][0],
+                              tbl[0])
+            dnv = dn if d == 1 else _containment(
+                prev_lbl, ring_tbl[0][d - 1], ring_tbl[1][d - 1], tbl[0])
+            return lbl, tbl, up, upv, dn, dnv
+
+        def unchanged():
+            # mask identical => labeling and table identical; containment
+            # of t-1 roots in level t is the identity. The t-d maps are
+            # only identity when d == 1; _skip_ok (below) restricts this
+            # fast path accordingly.
+            ident = _identity_maps(prev_tbl)
+            return (prev_lbl, prev_tbl, ident, ident, ident, ident)
+
+        _skip_ok = d == 1
+        if _skip_ok:
+            lbl, tbl, up, upv, dn, dnv = jax.lax.cond(
+                changed, compute, unchanged)
+        else:
+            lbl, tbl, up, upv, dn, dnv = compute()
+        new_ring_lbl = jnp.concatenate([ring_lbl[1:], lbl[None]], axis=0)
+        new_ring_tbl = tuple(
+            jnp.concatenate([r[1:], a[None]], axis=0)
+            for r, a in zip(ring_tbl, tbl))
+        return (mask, new_ring_lbl, new_ring_tbl), (tbl, up, upv, dn, dnv)
+
+    init = (mask0, ring_lbl0, ring_tbl0)
+    (_, ring_lbl_f, _), (tbl_s, up_s, upv_s, dn_s, dnv_s) = jax.lax.scan(
+        per_level, init, levels[1:])
+    tbl_t = tuple(jnp.concatenate([a[None], s], axis=0)
+                  for a, s in zip(tbl0, tbl_s))
+    up_area, up_pos, up_hit = (
+        jnp.concatenate([a[None], s], axis=0)
+        for a, s in zip(up0, upv_s))           # (T, cap), t-1 -> t maps
+    dn_area = jnp.concatenate([down0[0][None], dn_s[0]], axis=0)
+    dnv_pos = jnp.concatenate([down0[1][None], dnv_s[1]], axis=0)
+    dnv_hit = jnp.concatenate([down0[2][None], dnv_s[2]], axis=0)
     roots_t, areas_t = tbl_t[0], tbl_t[1]
-    lab_flat = labels.reshape(t_count, n)
-
-    def _shift_rows(a, offset):
-        """a[clip(arange(T)+offset, 0, T-1)] with STATIC slicing+repeat —
-        a traced-index row gather (round 3's first formulation) made XLA
-        gather 2 x 32 x 1.33M elements here, ~77 ms of the measured 86 ms
-        mser time; static concat is a copy at memory speed."""
-        if offset == 0:
-            return a
-        if offset > 0:
-            off = min(offset, a.shape[0] - 1)
-            rep = jnp.repeat(a[-1:], off, axis=0)
-            return jnp.concatenate([a[off:], rep], axis=0)
-        off = min(-offset, a.shape[0] - 1)
-        rep = jnp.repeat(a[:1], off, axis=0)
-        return jnp.concatenate([rep, a[:-off]], axis=0)
-
-    def _lab_at_roots(src):
-        """(T, C) label of each level-t root pixel in `src` (T, n):
-        one FLAT 1-D gather — the 2-D batched take_along_axis lowered to
-        a ~20 ns/element gather on this chip (5.2 ms per chain call)."""
-        t_base = (jnp.arange(t_count, dtype=jnp.int32)
-                  * jnp.int32(n))[:, None]
-        flat = (jnp.minimum(roots_t, n - 1) + t_base).reshape(-1)
-        return src.reshape(-1)[flat].reshape(t_count, -1)
-
-    def chain_area(offset):
-        """(T, C) area of the component containing root c at level
-        t+offset, CLAMPED at the sweep edges (the reference/old per-pixel
-        formulation reuses the first/last level there); 0 where that pixel
-        is background at the source level."""
-        src = _shift_rows(lab_flat, offset)              # (T, n)
-        g = jnp.where(roots_t < n, _lab_at_roots(src), n)
-        area = _rank_lookup_all_levels(
-            _shift_rows(roots_t, offset), _shift_rows(areas_t, offset),
-            g, 0, n)
-        return area.astype(jnp.float32)
-
-    af = areas_t.astype(jnp.float32)
-    area_hi = chain_area(d)
-    area_lo = chain_area(-d)
     live = roots_t < n
+    af = areas_t.astype(jnp.float32)
+
+    # area_hi[t] = area at level min(t+d, T-1) of root_t's component:
+    # rows t < T-d come from the sweep's up stream (emitted at step t+d
+    # for the then-(t-d) roots); the last d rows look up the FINAL
+    # level's labeling directly (the clamped top edge)
+    upd_area = jnp.concatenate([up0[0][None], up_s[0]], axis=0)
+    lbl_last = ring_lbl_f[d - 1]
+    tbl_last = tuple(a[t_count - 1] for a in tbl_t)
+    tail_q = roots_t[t_count - d:].reshape(-1)
+    tail_area, _, _ = _containment(lbl_last, tbl_last[0], tbl_last[1],
+                                   tail_q)
+    area_hi = jnp.concatenate(
+        [upd_area[d:], tail_area.reshape(d, cap)], axis=0)
+    area_lo = dn_area                                       # (T, cap)
+
     variation = jnp.where(live, (area_hi - area_lo) / jnp.maximum(af, 1.0),
                           jnp.inf)
 
-    # stability: local minimum of variation along each root's chain
-    def chain_variation(offset):
-        src = jnp.roll(lab_flat, -offset, axis=0)
-        g = _lab_at_roots(src)
-        t_ok = ((jnp.arange(t_count) + offset >= 0)
-                & (jnp.arange(t_count) + offset < t_count))[:, None]
-        g = jnp.where(t_ok & (roots_t < n), g, n)
-        return _rank_lookup_all_levels(
-            jnp.roll(roots_t, -offset, axis=0),
-            jnp.roll(variation, -offset, axis=0), g, jnp.inf, n)
-
-    v_prev = chain_variation(-1)
-    v_next = chain_variation(1)
+    # stability chains: v_prev[t] = variation[t-1] at the component
+    # containing root_t at level t-1 (inf at t=0 / misses); v_next[t] =
+    # variation[t+1] at root_t's containing component at level t+1
+    var_flat = variation.reshape(-1)
+    t_ix = jnp.arange(t_count, dtype=jnp.int32)[:, None]
+    prev_idx = jnp.clip((t_ix - 1) * cap + dnv_pos, 0, t_count * cap - 1)
+    v_prev = jnp.where((t_ix >= 1) & dnv_hit, var_flat[prev_idx], jnp.inf)
+    up_pos1 = jnp.concatenate([up_pos[1:], up_pos[-1:]], axis=0)
+    up_hit1 = jnp.concatenate([up_hit[1:], jnp.zeros((1, cap), bool)],
+                              axis=0)
+    next_idx = jnp.clip((t_ix + 1) * cap + up_pos1, 0, t_count * cap - 1)
+    v_next = jnp.where((t_ix < t_count - 1) & up_hit1, var_flat[next_idx],
+                       jnp.inf)
     min_a = max(int(config.min_area * n), 1)
     max_a = int(config.max_area * n)
     stable = (live & (variation <= v_prev) & (variation < v_next)

@@ -157,9 +157,14 @@ def fast_strengths_pallas(img: jax.Array, threshold: int = 20, n: int = 9,
     if squeeze:
         img = img[None]
     bsz, h, w = img.shape
-    tile = _ROW_TILE
-    hp = -(-h // tile) * tile
+    # VMEM-adaptive row tile: the scheduler keeps ~30 f32 planes of
+    # (tile + 2*halo, wp) live through the two window trees (measured:
+    # 18.2 MB requested at 80x1920 — an OOM against the 16 MB scoped
+    # limit; 13.5 MB at 80x1408 compiles). Budget the computed rows so
+    # peak stays ~14 MB at any width.
     wp = -(-w // 128) * 128
+    tile = min(_ROW_TILE, max(8, (120_000 // wp - 2 * _HALO_R) // 8 * 8))
+    hp = -(-h // tile) * tile
     x = jnp.pad(img, ((0, 0), (_HALO_R, hp - h + _HALO_R),
                       (0, wp - w)))
     kern = functools.partial(_kernel, tile=tile, wp=wp, n=n,
