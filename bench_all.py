@@ -270,7 +270,6 @@ def main():
     L = 16384
     vo_cfg = VOConfig(max_landmarks=L, max_obs_per_frame=1024,
                       orb=OrbConfig(levels=8, max_features=2000))
-    intr = cam_mod.Intrinsics.make(700.0, 700.0, w / 2, h / 2)
     mp_np = np.stack([rng.uniform(-4, 4, L), rng.uniform(-2.5, 2.5, L),
                       rng.uniform(2.0, 9.0, L)], 1).astype(np.float32)
     md_np = rng.integers(0, 2 ** 32, (L, 8), np.uint64).astype(np.uint32)
@@ -279,10 +278,16 @@ def main():
                          rng.uniform(0, h - 1, capk)], 1).astype(np.float32)
     kf_desc_np = rng.integers(0, 2 ** 32, (capk, 8), np.uint64) \
         .astype(np.uint32)
-    zero6 = jnp.zeros((6,), jnp.float32)
-    vo_key = jax.random.PRNGKey(0)
+    zero6_np = np.zeros((6,), np.float32)
 
     def vo_step(img, mp, md, kfd):
+        # intrinsics / zero pose / PRNG key are built INSIDE the traced
+        # function from Python/numpy values: an eagerly created device
+        # array captured in a jit closure is the axon dispatch-poison
+        # trap this very docstring forbids (CLAUDE.md gotcha #1)
+        intr = cam_mod.Intrinsics.make(700.0, 700.0, w / 2, h / 2)
+        zero6 = jnp.asarray(zero6_np)
+        vo_key = jax.random.PRNGKey(0)
         return vo_mod._track_step(
             img, mp, md, jnp.int32(L - 7), zero6, kf_uv_np + 0.0, kfd,
             jnp.int32(capk - 5), zero6, vo_key, intr, vo_cfg)

@@ -227,11 +227,12 @@ def _cutoff_select(strengths: jax.Array, k: int,
         # VMEM-resident Pallas pass (kernels/fast_select.py) — the XLA
         # butterfly below re-reads/re-writes the key map per stage
         # (~96 us/frame of HBM traffic at HD batch 8 vs ~17 fused)
-        from ..kernels.fast_select import select_compact
+        from ..kernels.fast_select import make_select_compact
         bounds = jnp.stack([strict_bound,
                             jnp.where(c > 1, eq_bound, strict_bound),
                             r]).astype(jnp.int32)
-        ck, counts = select_compact(key_p, bounds)
+        sc = make_select_compact(w, 2 if nms_spaced else 1)
+        ck, counts = sc(key_p, bounds)
     else:
         row_tot = jnp.sum(eq.astype(jnp.int32), axis=1)
         cum_ex = jnp.cumsum(row_tot) - row_tot

@@ -152,25 +152,11 @@ def _rank_lookup(table_roots: jax.Array, table_vals: jax.Array,
     return jnp.where(hit, table_vals[pos], miss), pos, hit
 
 
-def _rank_lookup_all_levels(table_roots: jax.Array, table_vals: jax.Array,
-                            queries: jax.Array, miss, n: int):
-    """(T, C) lookup of per-level sorted root tables in ONE searchsorted:
-    level blocks are made disjoint with a t*(n+1) key offset, under which
-    the flattened table stays globally sorted (roots <= n within a
-    level). Round 3 first vmapped per-level searchsorted(method='sort') —
-    32 small merge sorts cost 9.5 ms per chain call on-chip; one 524k
-    merge sort is ~6x cheaper. i32 keys hold T*(n+1) for any image this
-    framework targets (asserted)."""
-    t_count, c = table_roots.shape
-    assert t_count * (n + 1) < 2 ** 31, "key space exceeds int32"
-    base = (jnp.arange(t_count, dtype=jnp.int32) * jnp.int32(n + 1))[:, None]
-    tk = (jnp.minimum(table_roots, n) + base).reshape(-1)
-    qk = (jnp.minimum(queries, n) + base).reshape(-1)
-    pos = jnp.searchsorted(tk, qk, method="sort")
-    pos = jnp.minimum(pos, tk.shape[0] - 1)
-    hit = (tk[pos] == qk) & (queries.reshape(-1) < n)
-    out = jnp.where(hit, table_vals.reshape(-1)[pos], miss)
-    return out.reshape(t_count, c)
+# (If per-level batched lookups return: T sorted root tables collapse into
+# ONE searchsorted by offsetting level t's keys by t*(n+1) — the flattened
+# table stays globally sorted, and one big merge sort measured ~6x cheaper
+# on-chip than 32 vmapped small ones. The in-sweep _containment below
+# superseded the (T, C) form that used it.)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

@@ -31,7 +31,8 @@ from .dispatch import interpret_mode
 _TILE = 64
 
 
-def _kernel(bounds, key_ref, out_ref, cnt_ref, acc, *, ww, pad_key):
+def _kernel(bounds, key_ref, out_ref, cnt_ref, acc, *, ww, pad_key,
+            orig_w, spacing):
     b_ix = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -70,12 +71,34 @@ def _kernel(bounds, key_ref, out_ref, cnt_ref, acc, *, ww, pad_key):
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, ww), 1)
     # EXACT tie cut: a tie is kept iff its global tie rank (rows before
     # this one via acc + rows above in the tile via the tril matmul +
-    # ties to its left in the row) is under the budget — so the caller's
-    # capacity is exactly k, and the placement gather that feeds the
-    # final small sort shrinks by the old one-row over-selection (the
-    # XLA path's per-row granularity traded gather size for two full-map
-    # passes; in VMEM the extra prefix is ~free)
-    eq_rank = prefix(eq.astype(jnp.int32)) - eq.astype(jnp.int32)
+    # ties within the row, ranked by FLAT INDEX) is under the budget —
+    # so the caller's capacity is exactly k, and the placement gather
+    # that feeds the final small sort shrinks by the old one-row
+    # over-selection (the XLA path's per-row granularity traded gather
+    # size for two full-map passes; in VMEM the extra prefix is ~free)
+    if spacing == 1:
+        # unpooled map: column position == flat-index order within a row
+        eqi32 = eq.astype(jnp.int32)
+        eq_rank = prefix(eqi32) - eqi32
+    else:
+        # 2x2 min-pooled key map (nms_spaced): a pooled row interleaves
+        # original rows 2g and 2g+1, so column position can INVERT
+        # flat-index order between them (round-3 advisor finding, would
+        # break the lax.top_k tie contract). Flat order within a pooled
+        # row is: all even-original-row ties (in column order, since
+        # orig col is monotone in pooled col) before all odd-row ties
+        # (in column order) — rank the two parities separately and
+        # offset the odd ranks by the row's even-tie count.
+        idx = key & ((1 << 22) - 1)
+        grow = (i * tile
+                + jax.lax.broadcasted_iota(jnp.int32, (tile, ww), 0))
+        odd = idx >= (spacing * grow + 1) * orig_w
+        ev = (eq & ~odd).astype(jnp.int32)
+        od = (eq & odd).astype(jnp.int32)
+        ev_ex = prefix(ev) - ev
+        od_ex = prefix(od) - od
+        row_even = jnp.sum(ev, axis=1, keepdims=True)
+        eq_rank = jnp.where(odd, row_even + od_ex, ev_ex)
     sel = strict | (eq & (ex_row + eq_rank < r))
     y = jnp.where(sel, key, pad_key)
 
@@ -100,16 +123,18 @@ def _kernel(bounds, key_ref, out_ref, cnt_ref, acc, *, ww, pad_key):
     out_ref[0] = y
 
 
-@functools.partial(jax.jit, static_argnames=("pad_key",))
+@functools.partial(jax.jit,
+                   static_argnames=("pad_key", "orig_w", "spacing"))
 def _select_compact_batched(key_p: jax.Array, bounds: jax.Array,
-                            pad_key: int):
+                            pad_key: int, orig_w: int, spacing: int):
     bsz, hh, ww = key_p.shape
     assert ww % 128 == 0, ww
     hp = -(-hh // _TILE) * _TILE
     if hp != hh:
         key_p = jnp.pad(key_p, ((0, 0), (0, hp - hh), (0, 0)),
                         constant_values=pad_key)
-    kern = functools.partial(_kernel, ww=ww, pad_key=pad_key)
+    kern = functools.partial(_kernel, ww=ww, pad_key=pad_key,
+                             orig_w=orig_w, spacing=spacing)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz, hp // _TILE),
@@ -134,18 +159,30 @@ def _select_compact_batched(key_p: jax.Array, bounds: jax.Array,
     return out, cnt[:, :, 0]
 
 
-@functools.partial(custom_batching.custom_vmap, )
-def select_compact(key_p: jax.Array, bounds: jax.Array):
-    """Select keys by (strict_bound, eq_bound, tie_budget) = `bounds` and
-    left-compact each row. key_p: (HH, WW) i32 packed keys (WW % 128 == 0),
-    bounds: (3,) i32. Returns (compacted (HHp, WW), counts (HHp,))."""
-    from ..features.fast import _PAD_KEY
-    out, cnt = _select_compact_batched(key_p[None], bounds[None], _PAD_KEY)
-    return out[0], cnt[0]
+@functools.lru_cache(maxsize=None)
+def make_select_compact(orig_w: int, spacing: int):
+    """Build the (vmappable) select+compact entry for one geometry.
+    `orig_w` is the FULL-RESOLUTION image width the packed flat indices
+    were computed with; `spacing` is 2 when the key map was 2x2
+    min-pooled (nms_spaced) and 1 otherwise — the kernel needs both to
+    rank cutoff-1 ties by flat index (lax.top_k's tie order)."""
 
+    @custom_batching.custom_vmap
+    def select_compact(key_p: jax.Array, bounds: jax.Array):
+        """Select keys by (strict_bound, eq_bound, tie_budget) = `bounds`
+        and left-compact each row. key_p: (HH, WW) i32 packed keys
+        (WW % 128 == 0), bounds: (3,) i32. Returns (compacted (HHp, WW),
+        counts (HHp,))."""
+        from ..features.fast import _PAD_KEY
+        out, cnt = _select_compact_batched(key_p[None], bounds[None],
+                                           _PAD_KEY, orig_w, spacing)
+        return out[0], cnt[0]
 
-@select_compact.def_vmap
-def _select_vmap(axis_size, in_batched, key_p, bounds):
-    from ..features.fast import _PAD_KEY
-    out, cnt = _select_compact_batched(key_p, bounds, _PAD_KEY)
-    return (out, cnt), (True, True)
+    @select_compact.def_vmap
+    def _select_vmap(axis_size, in_batched, key_p, bounds):
+        from ..features.fast import _PAD_KEY
+        out, cnt = _select_compact_batched(key_p, bounds, _PAD_KEY,
+                                           orig_w, spacing)
+        return (out, cnt), (True, True)
+
+    return select_compact

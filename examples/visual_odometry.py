@@ -23,11 +23,17 @@ from compv_tpu import viz
 
 
 def run_synthetic(n_frames=10, windowed=True):
+    from compv_tpu.core.config import OrbConfig
     frames, gt, (fx, fy, cx, cy) = datasets.synthetic_sequence(
         n_frames=n_frames, n_landmarks=500)
     intr = camera.Intrinsics.make(fx, fy, cx, cy)
+    # small-scene config: VOConfig's defaults are reference scale (16k
+    # landmarks, 8-level/2000-feature ORB) for the real-TPU bench; the
+    # 320x240 synthetic demo (and the CPU box it is smoke-run on) wants
+    # the tests' small shapes
     odo = vo.VisualOdometry(intr, vo.VOConfig(
-        orb=vo.VOConfig().orb, min_track_inliers=10))
+        max_landmarks=4096, max_obs_per_frame=512,
+        orb=OrbConfig(levels=4, max_features=512), min_track_inliers=10))
     ok = odo.initialize(frames[0], frames[1])
     print("init:", ok)
     if windowed:
