@@ -97,25 +97,39 @@ def _component_table(lbl: jax.Array, cap: int, max_runs: int):
     gathered 64 x 1.33M elements)."""
     h, w = lbl.shape
     n = h * w
-    fg = lbl < n
-    left = jnp.pad(fg, ((0, 0), (1, 0)))[:, :w]
-    start = fg & ~left
+    from ..kernels.dispatch import pallas_enabled
+    from ..kernels import run_compact as rc
+    if pallas_enabled() and rc.pack_fits(h, w):
+        # round 4: VMEM run compaction + small sort replaces the per-level
+        # full-map sentinel sort (see kernels/run_compact.py) — this runs
+        # once per threshold level, so the ~6x table savings multiply
+        wp = -(-(w + 1) // 128) * 128
+        lbl_p = jnp.pad(lbl, ((0, 0), (0, wp - w)), constant_values=n)
+        s_root, s_s, s_len, _ = rc.run_table_compact(
+            lbl_p, n, w, wp, min(max_runs, n))
+        rv = s_root < n
+        s_len = jnp.where(rv, s_len, 0)
+        m = s_root.shape[0]
+    else:
+        fg = lbl < n
+        left = jnp.pad(fg, ((0, 0), (1, 0)))[:, :w]
+        start = fg & ~left
 
-    def op(a, b):          # suffix run-length scan, resets at background
-        av, af = a
-        bv, bf = b
-        return (jnp.where(bf, bv, av + bv), af | bf)
+        def op(a, b):      # suffix run-length scan, resets at background
+            av, af = a
+            bv, bf = b
+            return (jnp.where(bf, bv, av + bv), af | bf)
 
-    runlen, _ = jax.lax.associative_scan(
-        op, (fg.astype(jnp.int32), ~fg), axis=1, reverse=True)
-    idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
-    key = jnp.where(start, lbl, n).reshape(-1)
-    ln = jnp.where(start, runlen, 0).reshape(-1)
-    s_flat = jnp.where(start, idx, n).reshape(-1)
-    s_root, s_len, s_s = jax.lax.sort((key, ln, s_flat), num_keys=1)
-    m = min(max_runs, n)
-    s_root, s_len, s_s = s_root[:m], s_len[:m], s_s[:m]
-    rv = s_root < n
+        runlen, _ = jax.lax.associative_scan(
+            op, (fg.astype(jnp.int32), ~fg), axis=1, reverse=True)
+        idx = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+        key = jnp.where(start, lbl, n).reshape(-1)
+        ln = jnp.where(start, runlen, 0).reshape(-1)
+        s_flat = jnp.where(start, idx, n).reshape(-1)
+        s_root, s_len, s_s = jax.lax.sort((key, ln, s_flat), num_keys=1)
+        m = min(max_runs, n)
+        s_root, s_len, s_s = s_root[:m], s_len[:m], s_s[:m]
+        rv = s_root < n
     new = jnp.concatenate([jnp.ones((1,), bool), s_root[1:] != s_root[:-1]])
     y = jnp.where(rv, (s_s // w).astype(jnp.float32), 0.0)
     x0 = jnp.where(rv, (s_s % w).astype(jnp.float32), 0.0)
