@@ -121,7 +121,15 @@ def cluster_statistics(binary: jax.Array, max_clusters: int = 512,
     ty, tx = h // tile, w // tile
     b = ty * tx
     tt = tile * tile
+    if b == 0:                      # image thinner than one tile: no pieces
+        z = jnp.zeros((max_clusters,), jnp.float32)
+        return (z, jnp.zeros((max_clusters, 2), jnp.float32),
+                jnp.zeros((max_clusters, 2, 2), jnp.float32), z > 0)
     lbl = _tile_local_label(binary, tile, ty, tx, label_iters)
+    from ..kernels.dispatch import pallas_enabled
+    from ..kernels import run_compact as rc
+    if pallas_enabled() and b > 0 and rc.pack_fits(ty * tile, tx * tile):
+        return _piece_stats_runs(lbl, b, tt, tile, tx, max_clusters)
     lab = lbl.reshape(ty, tile, tx, tile).transpose(0, 2, 1, 3) \
         .reshape(b, tt)
     lab = jnp.where(lab < b * tt, lab % tt, tt)   # local ids; bg -> tt
@@ -163,6 +171,70 @@ def cluster_statistics(binary: jax.Array, max_clusters: int = 512,
     cov = jnp.stack([jnp.stack([cxx, cxy], -1),
                      jnp.stack([cxy, cyy], -1)], -2)
     mean = jnp.stack([mx_l + offx, my_l + offy], -1)
+    return top_cnt, mean, cov, top_cnt >= 4.0
+
+
+def _piece_stats_runs(lbl, b, tt, tile, tx, max_clusters,
+                      max_runs: int = 131072):
+    """Per-piece count/mean/cov on the Pallas path, via the CCL run-table
+    machinery instead of batched one-hot binsums.
+
+    The binsum formulation materializes (B, tt, tt) one-hot indicators —
+    ~944 MB of HBM traffic at HD (measured 1.07 ms of the 1.95 ms KHT
+    round-4 loss). Runs split at LABEL changes (kernels/run_compact.py),
+    so every run lies inside one tile of one piece; per-run moments are
+    closed-form from the endpoints in tile-LOCAL coordinates (exact in
+    f32 — global x^2 sums lose the covariance to cancellation) and one
+    segmented scan (kernels/seg_scan.py) aggregates them per piece. Tie
+    order of the top-K by count matches the binsum path: piece label
+    order == (tile, local-id) grid order. Edge maps with more than
+    `max_runs` runs (>14% density at HD) degrade silently — Canny output
+    is ~5%."""
+    from ..kernels.run_compact import run_table_compact
+    from .ccl import _seg_scan_multi
+    hh, ww = lbl.shape
+    big = b * tt
+    wp = -(-(ww + 1) // 128) * 128
+    lbl_p = jnp.pad(lbl, ((0, 0), (0, wp - ww)), constant_values=big)
+    g_root, g_s, g_ln, _ = run_table_compact(
+        lbl_p, big, ww, wp, min(max_runs, hh * ww))
+    rv = g_root < big
+    y = g_s // ww
+    x0 = g_s - y * ww
+    yl = jnp.where(rv, (y % tile).astype(jnp.float32), 0.0)
+    xl0 = jnp.where(rv, (x0 % tile).astype(jnp.float32), 0.0)
+    lnf = jnp.where(rv, g_ln, 0).astype(jnp.float32)
+    xl1 = jnp.where(rv, xl0 + lnf - 1.0, 0.0)
+    sumx = jnp.where(rv, (xl0 + xl1) * lnf * 0.5, 0.0)
+    s2 = lambda v: v * (v + 1.0) * (2.0 * v + 1.0) / 6.0
+    sumxx = jnp.where(rv, s2(xl1) - s2(xl0 - 1.0), 0.0)
+    new = jnp.concatenate([jnp.ones((1,), bool),
+                           g_root[1:] != g_root[:-1]])
+    area, sx, sy, sxx, sxy, syy = _seg_scan_multi(
+        sums=(lnf, sumx, yl * lnf, sumxx, yl * sumx, yl * yl * lnf),
+        mins=(), maxs=(), new=new)
+    is_end = jnp.concatenate([new[1:], jnp.ones((1,), bool)]) & rv
+    key = jnp.where(is_end, area, 0.0)
+    k = min(max_clusters, key.shape[0])
+    top_cnt, pos = jax.lax.top_k(key, k)
+    if k < max_clusters:
+        top_cnt = jnp.pad(top_cnt, (0, max_clusters - k))
+        pos = jnp.pad(pos, (0, max_clusters - k))
+    picked = top_cnt > 0
+    roots = g_root[pos]
+    tile_id = jnp.where(picked, roots, 0) // tt
+    offx = (tile_id % tx).astype(jnp.float32) * tile
+    offy = (tile_id // tx).astype(jnp.float32) * tile
+    c = jnp.maximum(top_cnt, 1.0)
+    mx_l = sx[pos] / c
+    my_l = sy[pos] / c
+    cxx = sxx[pos] / c - mx_l * mx_l
+    cyy = syy[pos] / c - my_l * my_l
+    cxy = sxy[pos] / c - mx_l * my_l
+    cov = jnp.stack([jnp.stack([cxx, cxy], -1),
+                     jnp.stack([cxy, cyy], -1)], -2)
+    mean = jnp.stack([jnp.where(picked, mx_l + offx, 0.0),
+                      jnp.where(picked, my_l + offy, 0.0)], -1)
     return top_cnt, mean, cov, top_cnt >= 4.0
 
 

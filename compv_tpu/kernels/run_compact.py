@@ -75,16 +75,22 @@ def _kernel(offs, nblk, lbl_hbm, root_out, pack_out, sroot, spack, sem,
     pos = (c * rows + rws - 1) * _LANES + cols
 
     fg = (lbl < n).astype(jnp.int32)
-    leftbg = _flatroll_back1(fg) == 0
+    # a run = maximal span of CONSECUTIVE EQUAL labels: for CCL maps this
+    # equals bg-delimited foreground spans (row-consecutive fg pixels are
+    # connected, hence same root), and it additionally lets tile-local
+    # labelings (hough_kht piece ids) route through this kernel — their
+    # runs split at tile walls where the label changes
+    leftv = _flatroll_back1(lbl)
     valid_row = (rws >= 1) & (rws < 1 + rows)
-    start = (fg > 0) & (leftbg | (pos == 0)) & valid_row
+    start = (fg > 0) & ((leftv != lbl) | (pos == 0)) & valid_row
 
-    # run length: suffix segmented sum of fg along flat order (a run
-    # never crosses an original row: wp > w keeps >= 1 background pad
-    # column at every row end). Forward halo covers the longest run (w)
-    # plus its terminating pad for every start in the chunk.
+    # run length: suffix segmented sum of fg along flat order, stopping
+    # where the NEXT label differs (a run never crosses an original row:
+    # wp > w keeps >= 1 background pad column at every row end). Forward
+    # halo covers the longest run (w) plus its terminator.
+    nextv = _flatroll(lbl, 1, _LANES)
     v = fg
-    f = 1 - fg
+    f = (nextv != lbl).astype(jnp.int32)
     d = 1
     while d < (halo + 1) * _LANES:
         vs = _flatroll(v, d, _LANES)
@@ -180,6 +186,10 @@ def run_table_compact(labels_p: jax.Array, n: int, w: int, wp: int,
     """
     hp = labels_p.shape[0]
     assert labels_p.shape[1] == wp and wp % _LANES == 0 and wp > w
+    if hp == 0 or max_runs == 0:    # degenerate map: empty sentinel table
+        mr = max(max_runs, 1)
+        return (jnp.full((mr,), n, jnp.int32), jnp.full((mr,), n, jnp.int32),
+                jnp.ones((mr,), jnp.int32), jnp.zeros((), jnp.int32))
     halo = -(-(w + 1) // _LANES) + 1
     # keep the block row count (1 + _CR + halo) a multiple of 8: Mosaic
     # sublane tiling (8 for i32) — unaligned scratch/DMA shapes fault
@@ -193,8 +203,9 @@ def run_table_compact(labels_p: jax.Array, n: int, w: int, wp: int,
 
     # ---- XLA pre-pass: per-chunk start counts -> aligned block offsets
     fg2 = labels_p < n
-    left2 = jnp.pad(fg2, ((0, 0), (1, 0)))[:, :wp]
-    start2 = (fg2 & ~left2).reshape(-1).astype(jnp.int32)
+    left2v = jnp.pad(labels_p, ((0, 0), (1, 0)),
+                     constant_values=n)[:, :wp]
+    start2 = (fg2 & (left2v != labels_p)).reshape(-1).astype(jnp.int32)
     start2 = jnp.pad(start2, (0, n_chunks * _CR * _LANES - r_total * _LANES))
     counts = jnp.sum(start2.reshape(n_chunks, _CR * _LANES), axis=1)
     run_count = jnp.sum(counts)

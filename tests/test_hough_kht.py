@@ -37,6 +37,27 @@ class TestKHT:
         assert abs(t - 3 * np.pi / 4) < 0.1
         assert abs(float(lines.rho[0])) < 3
 
+    def test_degenerate_thin_maps(self):
+        """Maps thinner than one 16-px tile (ty or tx == 0) must return
+        zero lines, on both dispatch paths (caught on-chip round 4: the
+        (8, 128) shape built an empty tile grid and crashed both the
+        run-table and the binsum formulation)."""
+        import os
+        cfg = HoughConfig(threshold=20, max_lines=8)
+        for shp in [(8, 128), (128, 8), (4, 4), (16, 16)]:
+            e = jnp.zeros(shp, jnp.uint8)
+            old = os.environ.get("COMPV_TPU_PALLAS")
+            for mode in ("0", "interpret"):
+                os.environ["COMPV_TPU_PALLAS"] = mode
+                try:
+                    lines, _ = hough_kht.hough_lines_kht(e, cfg)
+                    assert int(lines.count) == 0, (shp, mode)
+                finally:
+                    if old is None:
+                        os.environ.pop("COMPV_TPU_PALLAS", None)
+                    else:
+                        os.environ["COMPV_TPU_PALLAS"] = old
+
     def test_empty(self):
         edges = np.zeros((64, 64), np.uint8)
         lines, gs = hough_kht.hough_lines_kht(jnp.asarray(edges),
@@ -133,3 +154,72 @@ class TestCrossTileMerge:
         # top line is the long diagonal and dominates
         assert abs(float(lines.theta[0]) - 3 * np.pi / 4) < 0.1
         assert s[0] >= 3.0 * s[1]
+
+
+class TestPieceStatsRunsParity:
+    """The Pallas-path piece statistics (run-table + segmented scan,
+    round 4) must agree with the binsum formulation: identical counts /
+    validity / selection order, float-tolerance moments."""
+
+    def _both(self, edges, max_clusters=128):
+        import os
+        old = os.environ.get("COMPV_TPU_PALLAS")
+        os.environ["COMPV_TPU_PALLAS"] = "interpret"
+        try:
+            got = hough_kht.cluster_statistics(jnp.asarray(edges),
+                                               max_clusters)
+        finally:
+            os.environ["COMPV_TPU_PALLAS"] = "0"
+        try:
+            want = hough_kht.cluster_statistics(jnp.asarray(edges),
+                                                max_clusters)
+        finally:
+            if old is None:
+                os.environ.pop("COMPV_TPU_PALLAS", None)
+            else:
+                os.environ["COMPV_TPU_PALLAS"] = old
+        return got, want
+
+    def test_parity_on_segments(self):
+        rng = np.random.default_rng(7)
+        edges = np.zeros((96, 128), np.uint8)
+        edges[30, 8:100] = 1
+        edges[10:90, 64] = 1
+        for i in range(12, 80):
+            edges[i, i + 20] = 1
+        edges |= (rng.random((96, 128)) < 0.01)
+        (c1, m1, v1, ok1), (c2, m2, v2, ok2) = self._both(edges)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_array_equal(np.asarray(ok1), np.asarray(ok2))
+        sel = np.asarray(ok1)
+        np.testing.assert_allclose(np.asarray(m1)[sel], np.asarray(m2)[sel],
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(v1)[sel], np.asarray(v2)[sel],
+                                   atol=1e-3)
+
+    def test_kht_lines_match_across_paths(self):
+        import os
+        edges = np.zeros((128, 160), np.uint8)
+        edges[40, 10:150] = 1
+        for i in range(8, 120):
+            edges[i, i + 10] = 1
+        cfg = HoughConfig(threshold=15, max_lines=6)
+        old = os.environ.get("COMPV_TPU_PALLAS")
+        os.environ["COMPV_TPU_PALLAS"] = "interpret"
+        try:
+            l1, g1 = hough_kht.hough_lines_kht(jnp.asarray(edges), cfg)
+        finally:
+            os.environ["COMPV_TPU_PALLAS"] = "0"
+        try:
+            l2, g2 = hough_kht.hough_lines_kht(jnp.asarray(edges), cfg)
+        finally:
+            if old is None:
+                os.environ.pop("COMPV_TPU_PALLAS", None)
+            else:
+                os.environ["COMPV_TPU_PALLAS"] = old
+        n1, n2 = int(l1.count), int(l2.count)
+        assert n1 == n2
+        r1 = sorted(zip(np.asarray(l1.rho)[:n1], np.asarray(l1.theta)[:n1]))
+        r2 = sorted(zip(np.asarray(l2.rho)[:n2], np.asarray(l2.theta)[:n2]))
+        for (ra, ta), (rb, tb) in zip(r1, r2):
+            assert abs(ra - rb) <= 1.5 and abs(ta - tb) < 0.05, (r1, r2)
