@@ -479,7 +479,7 @@ def extract_components(labels: jax.Array, max_components: int = 256,
     is_end = jnp.concatenate([new[1:], jnp.ones((1,), bool)])
     key = jnp.where(is_end & gvalid, area, 0.0)
     k = min(max_components, max_runs)
-    top_area, pos = jax.lax.top_k(key, k)
+    top_area, pos = _topk_by_area(key, k, n)
     if k < max_components:
         top_area = jnp.pad(top_area, (0, max_components - k))
         pos = jnp.pad(pos, (0, max_components - k))
@@ -500,6 +500,54 @@ def extract_components(labels: jax.Array, max_components: int = 256,
         run_count=run_count,
         total_components=jnp.sum(new & gvalid).astype(jnp.int32),
     )
+
+
+def _topk_by_area(key: jax.Array, k: int, n_px: int):
+    """Exact lax.top_k replacement for integer-valued f32 area keys:
+    (top_area, pos), value desc / index asc — without the full sort
+    top_k lowers to (~0.3-0.5 ms at 262k on v5e, XLA-TPU trap #4).
+
+    Areas are integers, so selection on min(area, 255) is exact for every
+    component below the clamp, and the clamp bucket is PROVABLY small:
+    a component with area >= 255 owns >= 255 pixels, so there are at most
+    n_px/255 of them. When more than k exist (cutoff inside the clamp
+    bucket), a lax.cond switches to compacting just that bucket and
+    sorting its true areas — bounded by `cap`, never the full table. A
+    final k-element sort restores top_k's (value desc, index asc) output
+    order in all cases."""
+    from .fast import cutoff_topk_flat
+    from ..ops import compaction
+    nk = key.shape[0]
+    key_u8 = jnp.minimum(key, 255.0).astype(jnp.uint8)
+    picked_a, pos_a = cutoff_topk_flat(key_u8, k)
+    cap = max(k, min(nk, -(-n_px // 255) + 1))
+    iota = jnp.arange(nk, dtype=jnp.int32)
+
+    def small(_):
+        return picked_a, pos_a
+
+    def big(_):
+        # > k components at the 255 clamp: order needs true areas
+        np_ = -(-nk // 128) * 128
+        key2 = jnp.pad(key, (0, np_ - nk)).reshape(-1, 128)
+        iota2 = jnp.pad(iota, (0, np_ - nk)).reshape(-1, 128)
+        (v, i), ok, _ = compaction.compact(key2 >= 255.0, (key2, iota2),
+                                           cap)
+        sv = jnp.where(ok, -v, jnp.inf)
+        si = jnp.where(ok, i, nk)
+        sv, si = jax.lax.sort((sv, si), num_keys=2)
+        return jnp.isfinite(sv[:k]), jnp.where(jnp.isfinite(sv[:k]),
+                                               si[:k], 0)
+
+    picked, pos = jax.lax.cond(
+        jnp.sum((key >= 255.0).astype(jnp.int32)) > k, big, small, None)
+    top_area = jnp.where(picked, key[pos], 0.0)
+    # restore top_k output order (desc area, asc index; empties last)
+    neg, pos = jax.lax.sort(
+        (jnp.where(picked, -top_area, jnp.inf),
+         jnp.where(picked, pos, nk)), num_keys=2)
+    picked = jnp.isfinite(neg)
+    return jnp.where(picked, -neg, 0.0), jnp.where(picked, pos, 0)
 
 
 def _sorted_run_table(labels: jax.Array, max_runs: int):

@@ -271,6 +271,27 @@ def _cutoff_select(strengths: jax.Array, k: int,
     return jax.lax.sort(keys)[:k]
 
 
+def cutoff_topk_flat(key_u8: jax.Array, k: int):
+    """Exact top-k (value desc, index asc — lax.top_k tie semantics) of a
+    1-D integer-valued key array clamped to [0, 255], WITHOUT the full
+    sort lax.top_k lowers to (CLAUDE.md XLA-TPU trap #4: ~0.3-0.5 ms at
+    the 131k-262k sizes of the CCL/KHT component tables).
+
+    Returns (picked (k,) bool, idx (k,) i32); key values at idx must be
+    re-read by the caller (the selection key is the CLAMPED value).
+    Requires key_u8.shape[0] < 2^22 (the packed-key index space)."""
+    n = key_u8.shape[0]
+    assert n < (1 << 22), "flat index exceeds the 22-bit packed-key space"
+    np_ = -(-n // _SEG) * _SEG
+    m = jnp.pad(key_u8.astype(jnp.uint8), (0, np_ - n))
+    keys = _cutoff_select(m.reshape(-1, _SEG), min(k, n))
+    if min(k, n) < k:
+        keys = jnp.pad(keys, (0, k - n), constant_values=_PAD_KEY)
+    picked = keys != _PAD_KEY
+    idx = jnp.where(picked, keys & ((1 << 22) - 1), 0).astype(jnp.int32)
+    return picked, idx
+
+
 def _keys_to_points(keys: jax.Array, max_features: int, k: int, w: int,
                     level: int, size: float) -> Points:
     idx = keys & ((1 << 22) - 1)

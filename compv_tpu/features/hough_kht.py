@@ -175,7 +175,7 @@ def cluster_statistics(binary: jax.Array, max_clusters: int = 512,
 
 
 def _piece_stats_runs(lbl, b, tt, tile, tx, max_clusters,
-                      max_runs: int = 131072):
+                      max_runs: int = 65536):
     """Per-piece count/mean/cov on the Pallas path, via the CCL run-table
     machinery instead of batched one-hot binsums.
 
@@ -188,8 +188,8 @@ def _piece_stats_runs(lbl, b, tt, tile, tx, max_clusters,
     segmented scan (kernels/seg_scan.py) aggregates them per piece. Tie
     order of the top-K by count matches the binsum path: piece label
     order == (tile, local-id) grid order. Edge maps with more than
-    `max_runs` runs (>14% density at HD) degrade silently — Canny output
-    is ~5%."""
+    `max_runs` runs (>7% density at HD; Canny output is ~2-5%) lose
+    their highest-label runs silently."""
     from ..kernels.run_compact import run_table_compact
     from .ccl import _seg_scan_multi
     hh, ww = lbl.shape
@@ -216,11 +216,18 @@ def _piece_stats_runs(lbl, b, tt, tile, tx, max_clusters,
     is_end = jnp.concatenate([new[1:], jnp.ones((1,), bool)]) & rv
     key = jnp.where(is_end, area, 0.0)
     k = min(max_clusters, key.shape[0])
-    top_cnt, pos = jax.lax.top_k(key, k)
+    # sort-free top-K on counts clamped to 255 — the same clamp + index
+    # tie order as the binsum path's _cutoff_select (piece areas <= 256:
+    # only a full-tile piece ever hits the clamp), so the two dispatch
+    # paths select and order identically; exact counts re-read below
+    from .fast import cutoff_topk_flat
+    picked, pos = cutoff_topk_flat(
+        jnp.minimum(key, 255.0).astype(jnp.uint8), k)
+    top_cnt = jnp.where(picked, key[pos], 0.0)
     if k < max_clusters:
         top_cnt = jnp.pad(top_cnt, (0, max_clusters - k))
         pos = jnp.pad(pos, (0, max_clusters - k))
-    picked = top_cnt > 0
+        picked = jnp.pad(picked, (0, max_clusters - k))
     roots = g_root[pos]
     tile_id = jnp.where(picked, roots, 0) // tt
     offx = (tile_id % tx).astype(jnp.float32) * tile

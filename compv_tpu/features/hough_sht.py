@@ -109,16 +109,26 @@ def hough_lines_sht(edges: jax.Array, config: HoughConfig = HoughConfig(),
     sin_t = jnp.sin(thetas)
 
     xy, valid = edge_coordinates(edges, max_edge_points)
-    # rho index per (point, theta): offset to keep indices positive
-    rho = xy[:, 0:1] * cos_t[None, :] + xy[:, 1:2] * sin_t[None, :]
-    rho_idx = jnp.round(rho / config.rho).astype(jnp.int32) + (n_rho // 2)
-    rho_idx = jnp.clip(rho_idx, 0, n_rho - 1)
-    # invalid points vote nowhere: binsum drops out-of-range indices
-    rho_idx = jnp.where(valid[:, None], rho_idx, n_rho)
-    # per-theta rho histograms as ONE batched factored-indicator matmul
-    # (ops/binsum.py) — the K*T scatter votes of round 1 serialized on the
-    # TPU scatter unit (~22 ms at HD); this rides the int8 MXU (<1 ms)
-    acc = binsum.bincount_batched(rho_idx.T, n_rho).T  # (n_rho, n_theta)
+    from ..kernels.dispatch import pallas_enabled
+    if pallas_enabled() and n_rho <= 4096:
+        # one-hot factors built in VMEM and fed straight to the MXU
+        # (kernels/hough_vote.py) — the XLA binsum below materializes
+        # (T, N, BHI+BLO) int8 indicators through HBM (~633 MB at HD)
+        from ..kernels.hough_vote import sht_vote_pallas
+        acc = sht_vote_pallas(xy, valid, cos_t, sin_t, n_rho,
+                              float(config.rho)).astype(jnp.int32)
+    else:
+        # rho index per (point, theta): offset to keep indices positive
+        rho = xy[:, 0:1] * cos_t[None, :] + xy[:, 1:2] * sin_t[None, :]
+        rho_idx = jnp.round(rho / config.rho).astype(jnp.int32) \
+            + (n_rho // 2)
+        rho_idx = jnp.clip(rho_idx, 0, n_rho - 1)
+        # invalid points vote nowhere: binsum drops out-of-range indices
+        rho_idx = jnp.where(valid[:, None], rho_idx, n_rho)
+        # per-theta rho histograms as ONE batched factored-indicator
+        # matmul (ops/binsum.py) — round 1's K*T scatter votes serialized
+        # on the TPU scatter unit (~22 ms at HD)
+        acc = binsum.bincount_batched(rho_idx.T, n_rho).T
 
     # accumulator NMS (3x3, ties keep — reference nms :481)
     pad = jnp.pad(acc, 1)

@@ -224,3 +224,55 @@ class TestBatchedConv:
         (out_b,) = f(imgs[0])
         np.testing.assert_allclose(np.asarray(out_v[0]),
                                    np.asarray(out_b), atol=1e-4)
+
+
+class TestHoughVoteKernel:
+    def test_matches_binsum_accumulator(self):
+        """sht_vote_pallas must equal the XLA factored-binsum accumulator
+        bit-exactly (integer counts)."""
+        import jax
+        from compv_tpu.kernels.hough_vote import sht_vote_pallas
+        from compv_tpu.ops import binsum
+        rng = np.random.default_rng(5)
+        n, t, n_rho, step = 700, 180, 963, 1.0
+        xy = rng.uniform(0, 500, (n, 2)).astype(np.float32)
+        valid = rng.random(n) < 0.8
+        thetas = np.arange(t, dtype=np.float32) * (np.pi / t)
+        cos_t, sin_t = np.cos(thetas), np.sin(thetas)
+        acc_p = sht_vote_pallas(jnp.asarray(xy), jnp.asarray(valid),
+                                jnp.asarray(cos_t), jnp.asarray(sin_t),
+                                n_rho, step)
+        rho = xy[:, 0:1] * cos_t[None, :] + xy[:, 1:2] * sin_t[None, :]
+        rho_idx = np.clip(np.asarray(
+            jnp.round(jnp.asarray(rho) / step)).astype(np.int32)
+            + n_rho // 2, 0, n_rho - 1)
+        rho_idx = np.where(valid[:, None], rho_idx, n_rho)
+        acc_x = binsum.bincount_batched(jnp.asarray(rho_idx.T), n_rho).T
+        np.testing.assert_array_equal(
+            np.asarray(acc_p).astype(np.int64),
+            np.asarray(acc_x).astype(np.int64))
+
+    def test_sht_lines_identical_across_paths(self):
+        from compv_tpu.features import hough_sht
+        from compv_tpu.core.config import HoughConfig
+        edges = np.zeros((160, 200), np.uint8)
+        edges[40, 10:190] = 1
+        edges[20:150, 120] = 1
+        for i in range(10, 140):
+            edges[i, i + 5] = 1
+        cfg = HoughConfig(threshold=40, max_lines=8)
+        l1 = hough_sht.hough_lines_sht(jnp.asarray(edges), cfg)
+        old = os.environ["COMPV_TPU_PALLAS"]
+        os.environ["COMPV_TPU_PALLAS"] = "0"
+        try:
+            l2 = hough_sht.hough_lines_sht(jnp.asarray(edges), cfg)
+        finally:
+            os.environ["COMPV_TPU_PALLAS"] = old
+        assert int(l1.count) == int(l2.count)
+        n = int(l1.count)
+        np.testing.assert_array_equal(np.asarray(l1.rho)[:n],
+                                      np.asarray(l2.rho)[:n])
+        np.testing.assert_array_equal(np.asarray(l1.theta)[:n],
+                                      np.asarray(l2.theta)[:n])
+        np.testing.assert_array_equal(np.asarray(l1.strength)[:n],
+                                      np.asarray(l2.strength)[:n])

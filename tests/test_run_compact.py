@@ -122,3 +122,59 @@ class TestRunCompactParity:
             np.testing.assert_array_equal(
                 np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
                 err_msg=f)
+
+
+class TestTopkByArea:
+    """_topk_by_area must be bit-identical to lax.top_k (value desc,
+    index asc ties) on integer-valued f32 keys — including the big-area
+    branch (> k components at the 255 clamp) and on both dispatch
+    paths."""
+
+    def _oracle(self, key, k):
+        import jax
+        v, p = jax.lax.top_k(jnp.asarray(key), k)
+        return np.asarray(v), np.asarray(p)
+
+    def _check(self, key, k, n_px):
+        from compv_tpu.features.ccl import _topk_by_area
+        key_j = jnp.asarray(key)
+        for mode in ("interpret", "0"):
+            old = os.environ["COMPV_TPU_PALLAS"]
+            os.environ["COMPV_TPU_PALLAS"] = mode
+            try:
+                va, pa = _topk_by_area(key_j, k, n_px)
+            finally:
+                os.environ["COMPV_TPU_PALLAS"] = old
+            vo, po = self._oracle(key, k)
+            np.testing.assert_array_equal(np.asarray(va), vo, err_msg=mode)
+            sel = vo > 0
+            np.testing.assert_array_equal(np.asarray(pa)[sel], po[sel],
+                                          err_msg=mode)
+
+    def test_small_areas_with_ties(self):
+        rng = np.random.default_rng(11)
+        key = np.zeros(1024, np.float32)
+        ends = rng.choice(1024, 300, replace=False)
+        key[ends] = rng.integers(1, 60, 300)
+        self._check(key, 64, 64 * 64)
+
+    def test_clamp_bucket_below_k(self):
+        key = np.zeros(512, np.float32)
+        key[10] = 300.0
+        key[100] = 500.0
+        key[200:240] = np.arange(40) + 5.0
+        self._check(key, 16, 100_000)
+
+    def test_big_branch_orders_by_true_area(self):
+        # 40 components all >= 255 px, k = 8: the cutoff lands inside the
+        # clamp bucket and the selection must rank by TRUE area
+        rng = np.random.default_rng(3)
+        key = np.zeros(2048, np.float32)
+        pos = rng.choice(2048, 40, replace=False)
+        key[pos] = rng.permutation(40) * 37 + 260.0
+        self._check(key, 8, 1_000_000)
+
+    def test_big_branch_equal_areas_tie_by_index(self):
+        key = np.zeros(1024, np.float32)
+        key[13:973:40] = 400.0     # 24 equal big components
+        self._check(key, 6, 500_000)
