@@ -48,69 +48,91 @@ def _seg_scan(v, g, axis, size, reverse, pos):
     return v
 
 
-def _colscan_kernel(in_ref, out_ref, *, hp, big):
+def _colscan_kernel(in_ref, out_ref, flag_ref, *, hp, big):
     v = in_ref[:]
     g = jnp.where(v >= big, 1.0, 0.0)
     pos = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
     fwd = _seg_scan(v, g, 0, hp, False, pos)
     bwd = _seg_scan(v, g, 0, hp, True, pos)
-    out_ref[:] = jnp.minimum(fwd, bwd)
+    out = jnp.minimum(fwd, bwd)
+    out_ref[:] = out
+    # convergence flag computed in VMEM: the XLA `any(new != lbl)` frame
+    # compare cost 2 of the 6 frame-traffics of every sweep
+    ch = jnp.sum(jnp.where(out != v, 1.0, 0.0))
+    flag_ref[:] = jnp.zeros_like(flag_ref) + ch
 
 
-def _rowscan_kernel(in_hbm, out_ref, scratch, sem, *, tile, wp, big,
-                    connectivity):
+def _rowscan_kernel(in_hbm, out_ref, flag_ref, scratch, sem, *, tile, wp,
+                    big, connectivity):
     i = pl.program_id(0)
     rows = tile + 2 * _HALO_R
     dma = pltpu.make_async_copy(
         in_hbm.at[pl.ds(i * tile, rows), :], scratch, sem)
     dma.start()
     dma.wait()
-    v = scratch[:]
+    v0 = scratch[:]
+    v = v0
     fgm = v < big
     if connectivity == 8:
-        # one diagonal hop (vertical/horizontal runs are covered by the
-        # scans; diagonals advance one step per sweep)
-        m = v
-        for dy in (-1, 1):
-            for dx in (-1, 1):
-                t = jnp.roll(jnp.roll(v, -dy, axis=0), -dx, axis=1)
-                m = jnp.minimum(m, t)
-        v = jnp.where(fgm, m, v)
+        # TWO diagonal hops (vertical/horizontal runs are covered by the
+        # scans; each hop advances diagonal strings one step, and extra
+        # min-propagation steps never change the fixpoint — the measured
+        # text workload converges in ~8 sweeps with one hop, dominated
+        # by short diagonal strokes, vs ~5 with two)
+        for _ in range(2):
+            m = v
+            for dy in (-1, 1):
+                for dx in (-1, 1):
+                    t = jnp.roll(jnp.roll(v, -dy, axis=0), -dx, axis=1)
+                    m = jnp.minimum(m, t)
+            v = jnp.where(fgm, m, v)
     g = jnp.where(v >= big, 1.0, 0.0)
     pos = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
     fwd = _seg_scan(v, g, 1, wp, False, pos)
     bwd = _seg_scan(v, g, 1, wp, True, pos)
     out = jnp.minimum(fwd, bwd)
     out_ref[:] = out[_HALO_R:_HALO_R + tile]
+    ch = jnp.sum(jnp.where(
+        out[_HALO_R:_HALO_R + tile] != v0[_HALO_R:_HALO_R + tile],
+        1.0, 0.0))
+    flag_ref[:] = jnp.zeros_like(flag_ref) + ch
 
 
-def _colscan(lbl: jax.Array, big: float) -> jax.Array:
+def _colscan(lbl: jax.Array, big: float):
     hp, wp = lbl.shape
+    n_prog = wp // _COL_TILE
     kern = functools.partial(_colscan_kernel, hp=hp, big=big)
     return pl.pallas_call(
         kern,
-        grid=(wp // _COL_TILE,),
+        grid=(n_prog,),
         in_specs=[pl.BlockSpec((hp, _COL_TILE), lambda j: (0, j),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((hp, _COL_TILE), lambda j: (0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        out_specs=[pl.BlockSpec((hp, _COL_TILE), lambda j: (0, j),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, 128), lambda j: (j, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+                   jax.ShapeDtypeStruct((n_prog * 8, 128), jnp.float32)],
         interpret=interpret_mode(),
     )(lbl)
 
 
-def _rowscan(lbl: jax.Array, big: float, connectivity: int) -> jax.Array:
+def _rowscan(lbl: jax.Array, big: float, connectivity: int):
     hp, wp = lbl.shape
+    n_prog = hp // _ROW_TILE
     x = jnp.pad(lbl, ((_HALO_R, _HALO_R), (0, 0)), constant_values=big)
     kern = functools.partial(_rowscan_kernel, tile=_ROW_TILE, wp=wp, big=big,
                              connectivity=connectivity)
     return pl.pallas_call(
         kern,
-        grid=(hp // _ROW_TILE,),
+        grid=(n_prog,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((_ROW_TILE, wp), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        out_specs=[pl.BlockSpec((_ROW_TILE, wp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+                   jax.ShapeDtypeStruct((n_prog * 8, 128), jnp.float32)],
         scratch_shapes=[
             pltpu.VMEM((_ROW_TILE + 2 * _HALO_R, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -154,8 +176,12 @@ def label_pallas(binary: jax.Array, connectivity: int = 8,
 
     def body(c):
         lbl, _, it = c
-        new = _rowscan(_colscan(lbl, big), big, connectivity)
-        return new, jnp.any(new != lbl), it + 1
+        mid, f1 = _colscan(lbl, big)
+        new, f2 = _rowscan(mid, big, connectivity)
+        # changed == any(new != lbl): each kernel flags its own in/out
+        # delta in VMEM, so no full-frame XLA compare is needed
+        changed = (jnp.max(f1) + jnp.max(f2)) > 0
+        return new, changed, it + 1
 
     def cond(c):
         return c[1] & (c[2] < max_sweeps)
