@@ -175,87 +175,141 @@ def main():
     results = _Progress()   # name -> (ms, min_bytes, flops)
 
     pipeline_only = "--pipeline-only" in sys.argv
+    only = None                 # --only=ccl,hough_kht re-measures a subset
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+
+    def want(name):
+        return only is None or name in only
+
     if not pipeline_only:   # per-op reference rows (the main sweep)
-        results["rgb24_to_gray"] = (
-            bench(color.rgb_to_gray, rgb, K2=80), 4 * HW, 0)
-        results["yuv420_to_rgb"] = (
-            bench(color.yuv420_to_rgb, y_p, K2=80, extras=(u_p, v_p)),
-            4.5 * HW, 0)
-        results["rgb_to_hsv"] = (bench(color.rgb_to_hsv, rgb, K2=80), 6 * HW, 0)
-        results["yuv420_to_hsv"] = (
-            bench(color.yuv420_to_hsv, y_p, K2=80, extras=(u_p, v_p)),
-            4.5 * HW, 0)
-        results["split_rgb"] = (
-            bench(color.split_channels, rgb, K2=80), 6 * HW, 0)
-        results["histogram"] = (bench(histogram.histogram256, gray, K2=40),
-                                HW + 1024, 0)
-        results["equalize"] = (bench(histogram.equalize, gray, K2=40), 2 * HW, 0)
-        results["fast9_nms"] = (
-            bench(lambda x: fast_mod.fast_detect(
-                x, FastConfig(threshold=20, max_features=2000)), gray),
-            2 * HW, 0)
-        results["scale_bilinear"] = (
-            bench(lambda x: resize.resize_bilinear(x, 597, 1064), gray, K2=80),
-            HW + 597 * 1064, 0)
-        results["gaussian_blur7"] = (
-            bench(lambda x: convolve.gaussian_blur(x, 7, 2.0), gray, K2=40),
-            2 * HW, 14 * HW)
-        results["sobel"] = (bench(convolve.gradients, gray, K2=40), 5 * HW, 18 * HW)
-        results["adaptive_thresh"] = (
-            bench(lambda x: threshold.threshold_adaptive(x, 5, 8.0), gray, K2=40),
-            2 * HW, 0)
-        results["otsu"] = (
-            bench(lambda x: threshold.otsu_threshold(x)[1], gray, K2=40), 2 * HW, 0)
+        if want("rgb24_to_gray"):
+            results["rgb24_to_gray"] = (
+                bench(color.rgb_to_gray, rgb, K2=80), 4 * HW, 0)
+        if want("yuv420_to_rgb"):
+            results["yuv420_to_rgb"] = (
+                bench(color.yuv420_to_rgb, y_p, K2=80, extras=(u_p, v_p)),
+                4.5 * HW, 0)
+        if want("rgb_to_hsv"):
+            results["rgb_to_hsv"] = (
+                bench(color.rgb_to_hsv, rgb, K2=80), 6 * HW, 0)
+        if want("yuv420_to_hsv"):
+            results["yuv420_to_hsv"] = (
+                bench(color.yuv420_to_hsv, y_p, K2=80, extras=(u_p, v_p)),
+                4.5 * HW, 0)
+        if want("split_rgb"):
+            results["split_rgb"] = (
+                bench(color.split_channels, rgb, K2=80), 6 * HW, 0)
+        if want("histogram"):
+            results["histogram"] = (
+                bench(histogram.histogram256, gray, K2=40), HW + 1024, 0)
+        if want("equalize"):
+            results["equalize"] = (
+                bench(histogram.equalize, gray, K2=40), 2 * HW, 0)
+        if want("fast9_nms"):
+            results["fast9_nms"] = (
+                bench(lambda x: fast_mod.fast_detect(
+                    x, FastConfig(threshold=20, max_features=2000)), gray),
+                2 * HW, 0)
+        if want("scale_bilinear"):
+            results["scale_bilinear"] = (
+                bench(lambda x: resize.resize_bilinear(x, 597, 1064), gray,
+                      K2=80),
+                HW + 597 * 1064, 0)
+        if want("gaussian_blur7"):
+            results["gaussian_blur7"] = (
+                bench(lambda x: convolve.gaussian_blur(x, 7, 2.0), gray, K2=40),
+                2 * HW, 14 * HW)
+        if want("sobel"):
+            results["sobel"] = (
+                bench(convolve.gradients, gray, K2=40), 5 * HW, 18 * HW)
+        if want("adaptive_thresh"):
+            results["adaptive_thresh"] = (
+                bench(lambda x: threshold.threshold_adaptive(x, 5, 8.0), gray,
+                      K2=40),
+                2 * HW, 0)
+        if want("otsu"):
+            results["otsu"] = (
+                bench(lambda x: threshold.otsu_threshold(x)[1], gray, K2=40),
+                2 * HW, 0)
 
-        tb = jnp.asarray(rng.integers(0, 2 ** 32, (200, 8), np.uint64)
-                         .astype(np.uint32))
-        qb = jnp.asarray(rng.integers(0, 2 ** 32, (258, 8), np.uint64)
-                         .astype(np.uint32))
-        results["match_knn2_200"] = (
-            bench(lambda q, t: bruteforce.match(
-                Descriptors(bits=q, count=jnp.int32(258)),
-                Descriptors(bits=t, count=jnp.int32(200)), knn=2),
-                qb, K2=80, extras=(tb,)),
-            (258 + 200) * 32, 2 * 258 * 200 * 256)
+        if want("match_knn2_200"):
+            tb = jnp.asarray(rng.integers(0, 2 ** 32, (200, 8), np.uint64)
+                             .astype(np.uint32))
+            qb = jnp.asarray(rng.integers(0, 2 ** 32, (258, 8), np.uint64)
+                             .astype(np.uint32))
+            results["match_knn2_200"] = (
+                bench(lambda q, t: bruteforce.match(
+                    Descriptors(bits=q, count=jnp.int32(258)),
+                    Descriptors(bits=t, count=jnp.int32(200)), knn=2),
+                    qb, K2=80, extras=(tb,)),
+                (258 + 200) * 32, 2 * 258 * 200 * 256)
 
-        results["canny"] = (
-            bench(lambda x: canny_mod.canny(x, CannyConfig()), gray),
-            6 * HW, 0)
-        edges = canny_mod.canny(gray, CannyConfig())
-        results["hough_sht"] = (
-            bench(lambda e: hough_sht.hough_lines_sht(
-                e, HoughConfig(threshold=120, max_lines=64)), edges),
-            2 * HW, 0)
-        results["hough_kht"] = (
-            bench(lambda e: hough_kht.hough_lines_kht(
-                e, HoughConfig(threshold=120, max_lines=64)), edges),
-            2 * HW, 0)
+        if want("canny"):
+            results["canny"] = (
+                bench(lambda x: canny_mod.canny(x, CannyConfig()), gray),
+                6 * HW, 0)
+        if want("hough_sht") or want("hough_kht"):
+            edges = canny_mod.canny(gray, CannyConfig())
+        if want("hough_sht"):
+            results["hough_sht"] = (
+                bench(lambda e: hough_sht.hough_lines_sht(
+                    e, HoughConfig(threshold=120, max_lines=64)), edges),
+                2 * HW, 0)
+        if want("hough_kht"):
+            results["hough_kht"] = (
+                bench(lambda e: hough_kht.hough_lines_kht(
+                    e, HoughConfig(threshold=120, max_lines=64)), edges),
+                2 * HW, 0)
 
-        big = jnp.asarray(rng.integers(0, 2, (1285, 1285), np.uint8) * 255)
-        strel = morphology.structuring_element("cross", 3, 3)
-        results["erode3"] = (
-            bench(lambda x: morphology.erode(x, strel), big, K2=40),
-            2 * 1285 * 1285, 0)
-        results["close3"] = (
-            bench(lambda x: morphology.close_(x, strel), big, K2=40),
-            3 * 1285 * 1285, 0)
+        if want("erode3") or want("close3"):
+            big = jnp.asarray(rng.integers(0, 2, (1285, 1285), np.uint8) * 255)
+            strel = morphology.structuring_element("cross", 3, 3)
+        if want("erode3"):
+            results["erode3"] = (
+                bench(lambda x: morphology.erode(x, strel), big, K2=40),
+                2 * 1285 * 1285, 0)
+        if want("close3"):
+            results["close3"] = (
+                bench(lambda x: morphology.close_(x, strel), big, K2=40),
+                3 * 1285 * 1285, 0)
 
         text = jnp.asarray(text_image())
         TW = 1122 * 1182
-        results["ccl"] = (
-            bench(lambda x: ccl_mod.label(x), text), 5 * TW, 0)
-        labels = ccl_mod.label(text)
-        results["ccl_extract"] = (
-            bench(lambda l: ccl_mod.extract_components(l, 256), labels,
-                  vary="roll", K2=20),
-            8 * TW, 0)
-        gray_text = jnp.asarray(np.where(np.asarray(text_image()) > 0, 40, 215)
-                                .astype(np.uint8))
-        results["mser"] = (
-            bench(lambda x: mser(x, MSERConfig(max_regions=64)), gray_text, K2=6),
-            5 * TW * 8, 0)   # ~8 warm level steps over the buffer
-        results["hog"] = (
-            bench(lambda x: hog_mod.hog(x, HogConfig()), gray, K2=30), 6 * HW, 0)
+        if want("ccl"):
+            results["ccl"] = (
+                bench(lambda x: ccl_mod.label(x), text), 5 * TW, 0)
+        if want("ccl_extract"):
+            labels = ccl_mod.label(text)
+            results["ccl_extract"] = (
+                bench(lambda l: ccl_mod.extract_components(l, 256), labels,
+                      vary="roll", K2=20),
+                8 * TW, 0)
+        if want("mser"):
+            gray_text = jnp.asarray(
+                np.where(np.asarray(text_image()) > 0, 40, 215)
+                .astype(np.uint8))
+            results["mser"] = (
+                bench(lambda x: mser(x, MSERConfig(max_regions=64)), gray_text,
+                      K2=6),
+                5 * TW * 8, 0)   # ~8 warm level steps over the buffer
+        if want("hog"):
+            results["hog"] = (
+                bench(lambda x: hog_mod.hog(x, HogConfig()), gray, K2=30),
+                6 * HW, 0)
+
+    if only is not None:        # subset run: skip pipelines + gmean
+        csv = "--csv" in sys.argv
+        print(f"{'op':<18}{'ours ms':>10}{'ref ms':>10}{'speedup':>9}"
+              f"{'GB/s':>8}{'%BW':>6}")
+        for k, (ms, min_bytes, flops) in results.items():
+            ref = REF_MS[k]
+            ms = max(ms, 1e-6)
+            gbps = min_bytes / (ms * 1e-3) / 1e9
+            print(f"{k:<18}{ms:>10.4f}{ref:>10.4f}{ref / ms:>8.1f}x"
+                  f"{gbps:>8.1f}{100.0 * gbps / HBM_GBPS:>5.1f}%")
+        return
 
     # ---- beyond-reference pipeline metrics (no reference counterpart) ----
     from compv_tpu.core.config import OrbConfig
