@@ -26,9 +26,12 @@ from .dispatch import interpret_mode
 from ..features.fast import CIRCLE
 
 _ROW_TILE = 64
-_HALO_R = 8    # u8-sublane-aligned halo (needs only 4: circle r=3 + NMS 1;
-# 8 keeps the DMA row offsets 8-sublane aligned while computing 80 rows
-# per 64 output rows instead of 96 — 17% less tree work than halo 16)
+_HALO_R = 4    # circle r=3 + NMS 1. The DMA row offsets stay 8-sublane
+# aligned regardless of the halo (the tile start is i*_ROW_TILE into the
+# halo-padded image); only the copy LENGTH carries the halo, so the
+# minimal 4 works — 72 computed rows per 64 output vs 80 at halo 8
+# (round-4 profile: the strengths kernel is 63.5 us/frame of the 142 us
+# batched FAST total, so 10% less tree work is the single biggest lever)
 # No column halo at all: jnp.roll wrap-around along lanes only contaminates
 # the 3 columns nearest the tile edge, and those are zeroed by the interior
 # mask (gx < 3 or gx >= w-3) before NMS — the wrapped values never reach a

@@ -72,10 +72,11 @@ def _kernel(bounds, key_ref, out_ref, cnt_ref, acc, *, ww, pad_key,
     # EXACT tie cut: a tie is kept iff its global tie rank (rows before
     # this one via acc + rows above in the tile via the tril matmul +
     # ties within the row, ranked by FLAT INDEX) is under the budget —
-    # so the caller's capacity is exactly k, and the placement gather
-    # that feeds the final small sort shrinks by the old one-row
-    # over-selection (the XLA path's per-row granularity traded gather
-    # size for two full-map passes; in VMEM the extra prefix is ~free)
+    # so the caller's capacity is exactly k. Row-granular over-selection
+    # (cap k + ww) was tried 2026-08-20 and is a net LOSS: it drops one
+    # prefix pass here but pushes the caller's final packed sort past
+    # the 2048 power-of-two (2000 + 640 pads to a 4096-wide bitonic),
+    # costing ~16 us/frame against the ~5 saved.
     if spacing == 1:
         # unpooled map: column position == flat-index order within a row
         eqi32 = eq.astype(jnp.int32)
@@ -87,17 +88,21 @@ def _kernel(bounds, key_ref, out_ref, cnt_ref, acc, *, ww, pad_key,
         # break the lax.top_k tie contract). Flat order within a pooled
         # row is: all even-original-row ties (in column order, since
         # orig col is monotone in pooled col) before all odd-row ties
-        # (in column order) — rank the two parities separately and
-        # offset the odd ranks by the row's even-tie count.
+        # (in column order) — rank the two parities separately, odd
+        # ranks offset by the row's even-tie count. BOTH parity ranks
+        # ride ONE packed prefix (even count << 16 | odd count; row
+        # sums < 2^16), halving what was ~40% of this kernel's VPU ops
+        # (round-4 profile: 35 -> ~21 us/frame at HD batch 8).
         idx = key & ((1 << 22) - 1)
         grow = (i * tile
                 + jax.lax.broadcasted_iota(jnp.int32, (tile, ww), 0))
         odd = idx >= (spacing * grow + 1) * orig_w
-        ev = (eq & ~odd).astype(jnp.int32)
-        od = (eq & odd).astype(jnp.int32)
-        ev_ex = prefix(ev) - ev
-        od_ex = prefix(od) - od
-        row_even = jnp.sum(ev, axis=1, keepdims=True)
+        evi = (eq & ~odd).astype(jnp.int32)
+        odi = (eq & odd).astype(jnp.int32)
+        p = prefix((evi << 16) | odi)
+        row_even = jnp.broadcast_to(p[:, ww - 1:ww] >> 16, (tile, ww))
+        ev_ex = (p >> 16) - evi
+        od_ex = (p & 0xFFFF) - odi
         eq_rank = jnp.where(odd, row_even + od_ex, ev_ex)
     sel = strict | (eq & (ex_row + eq_rank < r))
     y = jnp.where(sel, key, pad_key)
