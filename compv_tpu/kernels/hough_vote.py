@@ -54,10 +54,13 @@ def _kernel(hiT_ref, lo_ref, out_ref):
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (_BHI, _NC), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (_NC, _BLO), 1)
     for tt in range(_TT):
+        # f32 one-hot operands: Mosaic rejects the bf16 (32, k) lhs here
+        # ("Bad lhs type", verified on-chip 2026-08-20); f32 compiles and
+        # the 0/1 products are exact either way
         hi_m = (jnp.broadcast_to(hiT[tt:tt + 1, :], (_BHI, _NC))
-                == sub_iota).astype(jnp.bfloat16)
+                == sub_iota).astype(jnp.float32)
         lo_m = (jnp.broadcast_to(lo[:, tt:tt + 1], (_NC, _BLO))
-                == lane_iota).astype(jnp.bfloat16)
+                == lane_iota).astype(jnp.float32)
         acc = jnp.dot(hi_m, lo_m, preferred_element_type=jnp.float32)
         out_ref[tt] += acc
 
