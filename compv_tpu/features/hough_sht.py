@@ -73,10 +73,25 @@ class HoughLines(NamedTuple):
 
 def edge_coordinates(edges: jax.Array, max_points: int):
     """(K, 2) xy of the first `max_points` edge pixels in scan order +
-    valid mask.  Butterfly compaction (ops/compaction.py) — lax.top_k over
-    the megapixel map is a full sort (~5 ms at HD); order matches top_k's
-    tie semantics (all on-pixels are equal-strength -> index order)."""
+    valid mask (reference edge-list build,
+    compv_core_feature_houghsht.cxx:58-120).
+
+    A 0/1 key selection via the FAST sort-free cutoff machinery
+    (features/fast.cutoff_topk_flat): equal keys resolve by ascending
+    flat index == scan order, and on the Pallas path the whole map runs
+    through one histogram + one select/compact kernel pass — the prior
+    XLA butterfly (ops/compaction.py) re-read the full map per stage,
+    ~20 HBM passes at HD (the bulk of the round-4 hough_sht row).
+    Images >= 2^22 px fall back to the butterfly (packed-index space)."""
     h, w = edges.shape
+    if h * w < (1 << 22):
+        from .fast import cutoff_topk_flat
+        picked, idx = cutoff_topk_flat(
+            (edges > 0).astype(jnp.uint8).reshape(-1), max_points)
+        xs = jnp.where(picked, idx % w, 0)
+        ys = jnp.where(picked, idx // w, 0)
+        return jnp.stack([xs.astype(jnp.float32),
+                          ys.astype(jnp.float32)], 1), picked
     xs_g = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     ys_g = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     (xs, ys), valid, _ = compaction.compact(

@@ -134,6 +134,9 @@ def _select_compact_batched(key_p: jax.Array, bounds: jax.Array,
                             pad_key: int, orig_w: int, spacing: int):
     bsz, hh, ww = key_p.shape
     assert ww % 128 == 0, ww
+    # the packed parity prefix ((evi << 16) | odi) needs per-row tie
+    # counts < 2^16 — holds iff the row width does (advisor round-4)
+    assert ww < (1 << 16), ww
     hp = -(-hh // _TILE) * _TILE
     if hp != hh:
         key_p = jnp.pad(key_p, ((0, 0), (0, hp - hh), (0, 0)),

@@ -63,12 +63,27 @@ def dilate(img: jax.Array, strel: np.ndarray) -> jax.Array:
     return _morph(img, strel, is_erode=False)
 
 
+def _morph2(img: jax.Array, strel: np.ndarray, first_erode: bool):
+    """Fused open/close dispatch: one Pallas pass when available (half the
+    HBM round trips of the two-op composition), else the two-op path."""
+    from ..kernels.dispatch import pallas_enabled
+    if pallas_enabled() and img.ndim == 2 and img.dtype == jnp.uint8:
+        from ..kernels.morph import morph2_pallas, _HALO_R, _HALO_C
+        se = np.asarray(strel, bool)
+        if (se.shape[0] // 2) * 2 <= _HALO_R and \
+                (se.shape[1] // 2) * 2 <= _HALO_C:
+            return morph2_pallas(img, se, first_erode)
+    if first_erode:
+        return dilate(erode(img, strel), strel)
+    return erode(dilate(img, strel), strel)
+
+
 def open_(img: jax.Array, strel: np.ndarray) -> jax.Array:
-    return dilate(erode(img, strel), strel)
+    return _morph2(img, strel, first_erode=True)
 
 
 def close_(img: jax.Array, strel: np.ndarray) -> jax.Array:
-    return erode(dilate(img, strel), strel)
+    return _morph2(img, strel, first_erode=False)
 
 
 def morph(img: jax.Array, strel: np.ndarray, op: str) -> jax.Array:

@@ -22,13 +22,15 @@ def main():
                       + rng.normal(0, 8, (h, w)), 0, 255).astype(np.uint8))
     cfg = FastConfig(threshold=20, max_features=2000)
 
-    def bench(fn, base, K1=2, K2=34, trials=5):
+    def bench(fn, base, K1=2, K2=34, trials=5, roll_axis=0, extras=()):
         def make(K):
             @jax.jit
-            def run(b):
+            def run(b, *ex):
                 def body(c, i):
-                    v = jnp.roll(b, i * 7 + 1, axis=0) + i.astype(b.dtype)
-                    out = fn(v)
+                    v = jnp.roll(b, i * 7 + 1, axis=roll_axis)
+                    if jnp.issubdtype(b.dtype, jnp.unsignedinteger):
+                        v = v + i.astype(b.dtype)
+                    out = fn(v, *ex)
                     acc = c
                     for leaf in jax.tree.leaves(out):
                         acc = acc + jnp.sum(leaf.astype(jnp.float32))
@@ -38,12 +40,12 @@ def main():
                 return o
             return run
         r1, r2 = make(K1), make(K2)
-        float(r1(base)); float(r2(base))
+        float(r1(base, *extras)); float(r2(base, *extras))
         b1 = b2 = 1e9
         for t in range(trials):
-            t0 = time.perf_counter(); float(r1(base))
+            t0 = time.perf_counter(); float(r1(base, *extras))
             b1 = min(b1, time.perf_counter() - t0)
-            t0 = time.perf_counter(); float(r2(base))
+            t0 = time.perf_counter(); float(r2(base, *extras))
             b2 = min(b2, time.perf_counter() - t0)
             if t < trials - 1:
                 time.sleep(0.5)
@@ -51,17 +53,64 @@ def main():
 
     kern = fast_strengths_vmappable(20, 9, True)
     s0 = kern(img)
+    s8 = jnp.stack([jnp.roll(s0, i, axis=1) for i in range(8)])
+    img8 = jnp.stack([jnp.roll(img, i, axis=1) for i in range(8)])
+
+    # ---- mirrors of the _cutoff_select stages (for isolation) ----
+    from compv_tpu.features.fast import _SEG, _PAD_KEY, _pack_key
+    from compv_tpu.ops import binsum
+    k_sel = 2000
+    span = 2 * _SEG
+    wp = -(-w // span) * span
+    hp = h + (h % 2)
+
+    def pack_pool(strengths):
+        su = jnp.pad(strengths, ((0, hp - h), (0, wp - w)))
+        si = su.astype(jnp.int32)
+        cols = jnp.arange(wp, dtype=jnp.int32)[None, :]
+        flat_idx = jnp.arange(hp, dtype=jnp.int32)[:, None] * w + cols
+        key_full = jnp.where(su > 0, _pack_key(si, flat_idx), _PAD_KEY)
+        a = jnp.minimum(key_full[0::2], key_full[1::2])
+        return jnp.minimum(a[:, 0::2], a[:, 1::2])
+
+    def hist_bounds(key_p):
+        sp = 255 - (key_p >> 22)
+        hist = binsum.bincount(sp, 256)
+        cum = jnp.cumsum(hist[::-1])[::-1]
+        c = 1 + jnp.sum((cum[1:] > k_sel).astype(jnp.int32))
+        bins = jnp.arange(256, dtype=jnp.int32)
+        strict_n = jnp.sum(jnp.where(bins >= c, hist, 0))
+        r = k_sel - strict_n
+        strict_bound = (256 - c) << 22
+        eq_bound = (257 - c) << 22
+        return jnp.stack([strict_bound,
+                          jnp.where(c > 1, eq_bound, strict_bound),
+                          r]).astype(jnp.int32)
+
+    kp0 = jax.vmap(pack_pool)(s8)
+    bounds0 = jax.vmap(hist_bounds)(kp0)
+    from compv_tpu.kernels.fast_select import make_select_compact
+    sc = make_select_compact(w, 2)
 
     stages = {}
-    stages["strengths+nms (pallas)"] = bench(kern, img)
-    stages["full fast_detect"] = bench(lambda x: F.fast_detect(x, cfg), img)
-    stages["full select (cutoff_select)"] = bench(
-        lambda s: F._cutoff_select(s, 2000, True), s0)
-    stages["select batch8 (vmap)"] = bench(
-        lambda s: jax.vmap(lambda m: F._cutoff_select(m, 2000, True))(s),
-        jnp.stack([jnp.roll(s0, i, axis=1) for i in range(8)]))
-    stages["lax.top_k reference"] = bench(
-        lambda s: jax.lax.top_k(s.reshape(-1).astype(jnp.float32), 2000), s0)
+    stages["strengths+nms b1"] = bench(kern, img)
+    stages["strengths+nms b8 /f"] = bench(kern, img8) / 8
+    stages["pack+pool b8 /f"] = bench(
+        lambda s: jax.vmap(pack_pool)(s), s8) / 8
+    stages["hist+bounds b8 /f"] = bench(
+        lambda kp: jax.vmap(hist_bounds)(kp), kp0, roll_axis=2) / 8
+    stages["select kernel b8 /f"] = bench(
+        lambda kp, bd: jax.vmap(sc)(kp, bd), kp0, roll_axis=2,
+        extras=(bounds0,)) / 8
+    stages["select+place b8 /f"] = bench(
+        lambda s: jax.vmap(lambda m: F._cutoff_select(m, k_sel, True))(s),
+        s8) / 8
+    stages["full detect b1"] = bench(lambda x: F.fast_detect(x, cfg), img)
+    stages["full detect b8 /f"] = bench(
+        lambda x: F.fast_detect_batch(x, cfg), img8, K2=18) / 8
+    stages["full detect b16 /f"] = bench(
+        lambda x: F.fast_detect_batch(x, cfg),
+        jnp.concatenate([img8, jnp.roll(img8, 9, axis=2)]), K2=18) / 16
 
     for k, v in stages.items():
         print(f"{k:<32}{v*1e3:>9.1f} us")

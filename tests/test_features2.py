@@ -51,6 +51,21 @@ class TestHoughSHT:
                     for r, t in zip(rho, theta))
         assert has_v and has_h
 
+    def test_edge_coordinates_scan_order(self):
+        from compv_tpu.features.hough_sht import edge_coordinates
+        from compv_tpu.ops import compaction
+        rng = np.random.default_rng(3)
+        e = jnp.asarray((rng.random((40, 70)) < 0.1).astype(np.uint8) * 255)
+        xy, valid = edge_coordinates(e, 128)
+        xs_g = np.broadcast_to(np.arange(70)[None, :], (40, 70))
+        ys_g = np.broadcast_to(np.arange(40)[:, None], (40, 70))
+        want_x = xs_g[np.asarray(e) > 0][:128]
+        want_y = ys_g[np.asarray(e) > 0][:128]
+        n = int(np.asarray(valid).sum())
+        assert n == min(128, int((np.asarray(e) > 0).sum()))
+        np.testing.assert_array_equal(np.asarray(xy)[:n, 0], want_x[:n])
+        np.testing.assert_array_equal(np.asarray(xy)[:n, 1], want_y[:n])
+
     def test_no_lines_in_empty_map(self):
         edges = np.zeros((64, 64), np.uint8)
         lines = hough_sht.hough_lines_sht(jnp.asarray(edges),
@@ -101,6 +116,37 @@ class TestCCL:
         comps = ccl.extract_components(lbl, 8)
         assert int(comps.count) == 1
         assert int(comps.areas[0]) == int((img > 0).sum())
+
+    def test_extract_boxes_matches_full_stats(self):
+        """Boxes-only extraction (the reference's boxes workload,
+        speed_compare:163-168) must agree with extract_components on
+        boxes/areas/roots, in root order with no area ranking."""
+        rng = np.random.default_rng(7)
+        img = (rng.random((48, 64)) < 0.35).astype(np.uint8) * 255
+        lbl = ccl.label(jnp.asarray(img))
+        bt = ccl.extract_boxes(lbl, 512)
+        full = ccl.extract_components(lbl, 512)
+        n = int(bt.count)
+        assert n == int(full.count)
+        assert int(bt.total_components) == int(full.total_components)
+        # roots ascend (scan order of first pixels)
+        roots = np.asarray(bt.roots)[:n]
+        assert (np.diff(roots) > 0).all()
+        by_root_full = {int(r): (tuple(b), int(a)) for r, b, a in zip(
+            np.asarray(full.roots)[:n], np.asarray(full.boxes)[:n],
+            np.asarray(full.areas)[:n])}
+        for r, b, a in zip(roots, np.asarray(bt.boxes)[:n],
+                           np.asarray(bt.areas)[:n]):
+            fb, fa = by_root_full[int(r)]
+            assert tuple(b) == fb and int(a) == fa
+
+    def test_extract_boxes_overflow_flagged(self):
+        img = np.zeros((16, 16), np.uint8)
+        img[0::2, 0::2] = 255   # 64 isolated single-pixel components
+        lbl = ccl.label(jnp.asarray(img))
+        bt = ccl.extract_boxes(lbl, 16)
+        assert int(bt.count) == 16
+        assert int(bt.total_components) == 64   # overflow visible
 
     def test_run_count_reports_truncation(self):
         # vertical stripes: one run per (row, stripe) = 16*8 = 128 runs

@@ -172,6 +172,31 @@ class TestMorphKernel:
                 np.testing.assert_array_equal(np.asarray(got),
                                               np.asarray(want))
 
+    def test_open_close_fused_exact(self, rng):
+        """Fused one-pass open/close (kernels/morph.py morph2_pallas) must
+        be bit-identical to the two-op composition, including the border
+        ring where the intermediate is edge-replicated."""
+        from compv_tpu.kernels.morph import morph2_pallas
+        from compv_tpu.ops import morphology
+        img = jnp.asarray(rng.integers(0, 256, (60, 90), np.uint8))
+        for kind in ("rect", "cross"):
+            for k in (3, 5):
+                strel = morphology.structuring_element(kind, k, k)
+                for first_erode in (True, False):
+                    got = morph2_pallas(img, strel, first_erode)
+                    old = os.environ.pop("COMPV_TPU_PALLAS")
+                    try:
+                        if first_erode:
+                            want = morphology.dilate(
+                                morphology.erode(img, strel), strel)
+                        else:
+                            want = morphology.erode(
+                                morphology.dilate(img, strel), strel)
+                    finally:
+                        os.environ["COMPV_TPU_PALLAS"] = old
+                    np.testing.assert_array_equal(np.asarray(got),
+                                                  np.asarray(want))
+
 
 class TestOrbPallasRoute:
     def test_orb_identical_with_and_without_pallas(self, rng):
