@@ -293,15 +293,20 @@ def main():
                 6 * HW, 0)
         if want("hough_sht") or want("hough_kht"):
             edges = canny_mod.canny(gray, CannyConfig())
+        # vary="roll" for both hough rows: "+i" would turn the binary edge
+        # map solid for i >= 1 (same workload distortion as the ccl row,
+        # found round 5) — roll preserves the real edge structure
         if want("hough_sht"):
             results["hough_sht"] = (
                 bench(lambda e: hough_sht.hough_lines_sht(
-                    e, HoughConfig(threshold=120, max_lines=64)), edges),
+                    e, HoughConfig(threshold=120, max_lines=64)), edges,
+                    vary="roll"),
                 2 * HW, 0)
         if want("hough_kht"):
             results["hough_kht"] = (
                 bench(lambda e: hough_kht.hough_lines_kht(
-                    e, HoughConfig(threshold=120, max_lines=64)), edges),
+                    e, HoughConfig(threshold=120, max_lines=64)), edges,
+                    vary="roll"),
                 2 * HW, 0)
 
         if want("erode3") or want("close3"):
@@ -323,8 +328,13 @@ def main():
         text = jnp.asarray(text_image())
         TW = 1122 * 1182
         if want("ccl"):
+            # vary="roll" — roll preserves the text structure; the default
+            # "+i" variation turns the 0/1 map SOLID for every i >= 1, so
+            # rounds 2-4 measured solid-rectangle labeling, not the
+            # reference's text workload (found round 5)
             results["ccl"] = (
-                bench(lambda x: ccl_mod.label(x), text), 5 * TW, 0)
+                bench(lambda x: ccl_mod.label(x), text, vary="roll"),
+                5 * TW, 0)
         if want("ccl_extract") or want("ccl_extract_stats"):
             labels = ccl_mod.label(text)
             # capacity sized to the workload (overflow stays flagged via

@@ -536,6 +536,7 @@ def extract_boxes(labels: jax.Array, max_components: int = 4096,
     component ends in root order directly)."""
     h, w = labels.shape
     n = h * w
+    max_runs = min(max_runs, n)     # capacity cannot exceed pixel count
     g_root, g_s, g_e, run_count = _sorted_run_table(labels, max_runs)
     gvalid = g_root < n
     y = jnp.where(gvalid, (g_s // w).astype(jnp.float32), 0.0)
@@ -549,6 +550,32 @@ def extract_boxes(labels: jax.Array, max_components: int = 4096,
         maxs=(jnp.where(gvalid, g_x1, -1.0), jnp.where(gvalid, y, -1.0)),
         new=new)
     is_end = jnp.concatenate([new[1:], jnp.ones((1,), bool)]) & gvalid
+    from ..kernels.dispatch import pallas_enabled
+    from ..kernels import nz_compact
+    if (pallas_enabled() and max_runs <= nz_compact.MAX_N
+            and w <= 2047 and h <= 2047):
+        # collect the component-end rows with ONE multi-payload butterfly
+        # pass (kernels/nz_compact.py): the gather-based collection cost
+        # ~6 ns/element x K x 7 arrays (~1.7 ms at 25k components,
+        # profiled 2026-08-20). Bbox corners pack 2-per-i32 (< 2048 each)
+        # to halve the payload count.
+        bxp = (bx0 * 2048.0 + bx1).astype(jnp.int32)
+        byp = (by0 * 2048.0 + by1).astype(jnp.int32)
+        (roots_c, area_c, bxp_c, byp_c), total = nz_compact.nonzero_compact(
+            is_end, (g_root, area.astype(jnp.int32), bxp, byp),
+            max_components)
+        count = jnp.minimum(total, max_components)
+        valid = jnp.arange(max_components, dtype=jnp.int32) < count
+        boxes = jnp.stack([bxp_c // 2048, byp_c // 2048,
+                           bxp_c % 2048, byp_c % 2048], axis=1)
+        return BoxTable(
+            boxes=jnp.where(valid[:, None], boxes, 0),
+            areas=jnp.where(valid, area_c, 0),
+            roots=jnp.where(valid, roots_c, -1),
+            count=count,
+            run_count=run_count,
+            total_components=total,
+        )
     # first max_components ends in index (== root) order: all keys are 1,
     # cutoff selection resolves ties by ascending index — a compaction
     from .fast import cutoff_topk_flat

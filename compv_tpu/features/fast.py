@@ -233,6 +233,15 @@ def _cutoff_select(strengths: jax.Array, k: int,
                             r]).astype(jnp.int32)
         sc = make_select_compact(w, 2 if nms_spaced else 1)
         ck, counts = sc(key_p, bounds)
+        # global placement as a second chunked VMEM butterfly
+        # (kernels/compact_place.py) — the XLA scatter/cummax/gather
+        # placement below was ~40 us/frame at k=2000 (round-5 profile);
+        # blocks are PAD-padded, the final sort restores exact order
+        from ..kernels.compact_place import make_place
+        hh2, ww2 = ck.shape
+        pk = make_place(_PAD_KEY, cap)
+        buf = pk(ck.reshape(hh2 * ww2 // 128, 128))
+        return jax.lax.sort(buf)[:k]
     else:
         row_tot = jnp.sum(eq.astype(jnp.int32), axis=1)
         cum_ex = jnp.cumsum(row_tot) - row_tot
@@ -250,18 +259,20 @@ def _cutoff_select(strengths: jax.Array, k: int,
     nrows = counts.shape[0]
     row_off = jnp.cumsum(counts) - counts
     total = jnp.sum(counts)
-    # placement via scatter + running max (row offsets strictly increase
-    # over nonempty rows) — the round-2 broadcast row_off <= g matrix was
-    # (cap x rows) and ~50 us of the single-frame postlude
+    # placement via ONE scatter + running max of a PACKED (row, offset)
+    # value (row offsets strictly increase over nonempty rows, so the
+    # packed values are monotone and cummax fills both fields at once —
+    # the two-scatter/two-cummax form was ~half of the 38 us/frame
+    # placement cost, profiled 2026-08-20)
+    assert cap < (1 << 16) and nrows < (1 << 15), (cap, nrows)
     nonempty = counts > 0
     rows_i = jnp.arange(nrows, dtype=jnp.int32)
     scat = jnp.where(nonempty, row_off, cap)
     z = jnp.zeros((cap,), jnp.int32).at[scat].max(
-        jnp.where(nonempty, rows_i, 0), mode="drop")
-    row_g = jax.lax.cummax(z)
-    o = jnp.zeros((cap,), jnp.int32).at[scat].max(
-        jnp.where(nonempty, row_off, 0), mode="drop")
-    off_g = jax.lax.cummax(o)
+        jnp.where(nonempty, rows_i * 65536 + row_off, 0), mode="drop")
+    pg = jax.lax.cummax(z)
+    row_g = pg >> 16
+    off_g = pg & 0xFFFF
     g = jnp.arange(cap, dtype=jnp.int32)
     slot_g = jnp.clip(g - off_g, 0, ck.shape[1] - 1)
     # flat 1-D gather: the 2-D (row_g, slot_g) form lowered ~2x slower

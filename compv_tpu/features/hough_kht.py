@@ -57,6 +57,15 @@ def _tile_local_label(binary: jax.Array, tile: int, ty: int, tx: int,
     tile_id = (gy // tile) * tx + (gx // tile)
     lbl0 = jnp.where(fg, tile_id * (tile * tile)
                      + (gy % tile) * tile + (gx % tile), big)
+
+    from ..kernels.dispatch import pallas_enabled
+    from ..kernels.kht_label import tile_label_pallas, _BAND
+    if pallas_enabled() and _BAND % tile == 0:
+        # all `iters` propagation passes on a VMEM band in ONE HBM pass
+        # (kernels/kht_label.py) — the fori_loop below re-reads the frame
+        # per iteration (~0.49 ms of the 1.19 ms KHT row, 2026-08-20)
+        return tile_label_pallas(lbl0, iters, tile,
+                                 int(ty * tx * tile * tile))
     ly = gy % tile
     lx = gx % tile
     walls = {}

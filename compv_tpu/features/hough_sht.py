@@ -28,31 +28,47 @@ def select_peaks(acc_nms: jax.Array, max_lines: int, cap: int = 4096):
     """Top `max_lines` (value, flat_idx) of a sparse post-NMS accumulator.
 
     lax.top_k over the full (n_rho * n_theta) grid is a full sort (trap:
-    ~ms at 0.5M cells); NMS+threshold leave FEW peaks, so compact the
-    nonzeros (butterfly, ops/compaction.py) and top_k the capacity
-    buffer.  If more than `cap` cells survive (degenerate threshold on a
-    busy edge map), a lax.cond falls back to the exact full-grid top_k so
-    a strong late-scan peak is never dropped — the slow path costs only
-    compile time when untaken."""
+    ~ms at 0.5M cells); NMS+threshold leave FEW peaks (~100 at HD), so
+    compact the nonzeros and top_k the capacity buffer. Compaction is a
+    0/1-key cutoff selection (features/fast.cutoff_topk_flat — one
+    histogram + one Pallas select pass; the prior ops/compaction.py
+    butterfly re-read the full grid per stage, 0.88 ms of the round-4
+    hough rows) and works for ANY accumulator dtype because values ride
+    a gather, not the key. If more than `cap` cells survive (degenerate
+    threshold on a busy edge map), a lax.cond falls back to the exact
+    full-grid top_k so a strong late-scan peak is never dropped — the
+    slow path costs only compile time when untaken."""
     n_rho, n_theta = acc_nms.shape
     cap = min(cap, acc_nms.size)
-    flat_idx = (jax.lax.broadcasted_iota(jnp.int32, acc_nms.shape, 0)
-                * n_theta
-                + jax.lax.broadcasted_iota(jnp.int32, acc_nms.shape, 1))
-    (v, i), ok, total = compaction.compact(
-        acc_nms > 0, (acc_nms, flat_idx), cap)
-    v = jnp.where(ok, v, 0)
-    i = jnp.where(ok, i, 0)
     k = min(max_lines, cap)
+    flat = acc_nms.reshape(-1)
 
-    def compacted(_):
-        vals, pos = jax.lax.top_k(v.astype(jnp.float32), k)
-        return vals, i[pos]
+    if acc_nms.size < (1 << 22):    # packed-index space of the cutoff
+        from .fast import cutoff_topk_flat
+        nz = flat != 0
+        picked, pos = cutoff_topk_flat(nz.astype(jnp.uint8), cap)
+        total = jnp.sum(nz.astype(jnp.int32))
+        v = jnp.where(picked, flat[pos], 0)
+
+        def compacted(_):
+            vals, j = jax.lax.top_k(v.astype(jnp.float32), k)
+            return vals, pos[j]
+    else:
+        flat_idx = (jax.lax.broadcasted_iota(jnp.int32, acc_nms.shape, 0)
+                    * n_theta
+                    + jax.lax.broadcasted_iota(jnp.int32, acc_nms.shape, 1))
+        (v0, i0), ok, total = compaction.compact(
+            acc_nms > 0, (acc_nms, flat_idx), cap)
+        v = jnp.where(ok, v0, 0)
+        i0 = jnp.where(ok, i0, 0)
+
+        def compacted(_):
+            vals, j = jax.lax.top_k(v.astype(jnp.float32), k)
+            return vals, i0[j]
 
     def full_grid(_):
-        vals, idx = jax.lax.top_k(
-            acc_nms.reshape(-1).astype(jnp.float32), k)
-        return vals, idx.astype(i.dtype)
+        vals, idx = jax.lax.top_k(flat.astype(jnp.float32), k)
+        return vals, idx.astype(jnp.int32)
 
     vals, idx = jax.lax.cond(total <= cap, compacted, full_grid, None)
     if k < max_lines:

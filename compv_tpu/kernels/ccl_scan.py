@@ -26,7 +26,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .dispatch import interpret_mode
 
 _COL_TILE = 256   # lanes per colscan program
-_ROW_TILE = 256   # rows per rowscan program
+_ROW_TILE = 96    # rows per rowscan program (the strengthened sweep's
+#                   scan temps stay live in Mosaic's scoped VMEM; 96 rows
+#                   keeps peak ~14 MB at 1280-lane frames)
 _HALO_R = 8       # rowscan halo (1 needed for the diagonal hop)
 
 
@@ -52,9 +54,14 @@ def _colscan_kernel(in_ref, out_ref, flag_ref, *, hp, big):
     v = in_ref[:]
     g = jnp.where(v >= big, 1.0, 0.0)
     pos = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+
     fwd = _seg_scan(v, g, 0, hp, False, pos)
     bwd = _seg_scan(v, g, 0, hp, True, pos)
     out = jnp.minimum(fwd, bwd)
+    # (adding extra in-kernel passes here OOMs scoped VMEM: Mosaic keeps
+    # ~all scan temps live — 39.8 MB at 3 passes on a 1280^2 frame,
+    # found on-chip 2026-08-20; the strengthened sweep lives in the
+    # rowscan kernel instead, whose row-tile is shrinkable)
     out_ref[:] = out
     # convergence flag computed in VMEM: the XLA `any(new != lbl)` frame
     # compare cost 2 of the 6 frame-traffics of every sweep
@@ -73,24 +80,43 @@ def _rowscan_kernel(in_hbm, out_ref, flag_ref, scratch, sem, *, tile, wp,
     v0 = scratch[:]
     v = v0
     fgm = v < big
-    if connectivity == 8:
-        # TWO diagonal hops (vertical/horizontal runs are covered by the
-        # scans; each hop advances diagonal strings one step, and extra
-        # min-propagation steps never change the fixpoint — the measured
-        # text workload converges in ~8 sweeps with one hop, dominated
-        # by short diagonal strokes, vs ~5 with two)
-        for _ in range(2):
-            m = v
-            for dy in (-1, 1):
-                for dx in (-1, 1):
-                    t = jnp.roll(jnp.roll(v, -dy, axis=0), -dx, axis=1)
-                    m = jnp.minimum(m, t)
-            v = jnp.where(fgm, m, v)
-    g = jnp.where(v >= big, 1.0, 0.0)
+    g = jnp.where(v0 >= big, 1.0, 0.0)
     pos = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-    fwd = _seg_scan(v, g, 1, wp, False, pos)
-    bwd = _seg_scan(v, g, 1, wp, True, pos)
-    out = jnp.minimum(fwd, bwd)
+    posr = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    rows_tot = tile + 2 * _HALO_R
+
+    def bandcol(x):
+        """Band-local column pass (full columns handled by the colscan
+        kernel; this propagates within the tile+halo rows for free)."""
+        fwd = _seg_scan(x, g, 0, rows_tot, False, posr)
+        bwd = _seg_scan(x, g, 0, rows_tot, True, posr)
+        return jnp.minimum(fwd, bwd)
+
+    def diag(x):
+        if connectivity != 8:
+            return x
+        m = x
+        for dy in (-1, 1):
+            for dx in (-1, 1):
+                t = jnp.roll(jnp.roll(x, -dy, axis=0), -dx, axis=1)
+                m = jnp.minimum(m, t)
+        return jnp.where(fgm, m, x)
+
+    def rowpass(x):
+        fwd = _seg_scan(x, g, 1, wp, False, pos)
+        bwd = _seg_scan(x, g, 1, wp, True, pos)
+        return jnp.minimum(fwd, bwd)
+
+    # ONE strengthened local sweep per launch: diag, full row scan,
+    # diag, then a band-local column scan — all in VMEM. ORDER matters:
+    # the preceding colscan kernel just finished a full vertical pass,
+    # so the extra vertical pass must come AFTER the horizontal one to
+    # flood the newly-acquired row minima vertically within the band
+    # (vertical-first duplicated the colscan and bought nothing,
+    # measured on-chip 2026-08-20). Extra min-propagation never changes
+    # the fixpoint. (TWO local iterations OOM'd scoped VMEM — Mosaic
+    # keeps every pass's scan temps live; one at a 96-row tile fits.)
+    out = bandcol(diag(rowpass(diag(v))))
     out_ref[:] = out[_HALO_R:_HALO_R + tile]
     ch = jnp.sum(jnp.where(
         out[_HALO_R:_HALO_R + tile] != v0[_HALO_R:_HALO_R + tile],

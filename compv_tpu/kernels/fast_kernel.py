@@ -25,7 +25,10 @@ from jax.experimental.pallas import tpu as pltpu
 from .dispatch import interpret_mode
 from ..features.fast import CIRCLE
 
-_ROW_TILE = 64
+_ROW_TILE = 72   # largest tile that fits scoped VMEM: the scheduler
+#                  keeps ~121 B/element of scan temps live (measured
+#                  from the 17.77M OOM at tile 96 x 1408 lanes), so
+#                  (tile+8)*wp must stay under ~115k elements
 _HALO_R = 4    # circle r=3 + NMS 1. The DMA row offsets stay 8-sublane
 # aligned regardless of the halo (the tile start is i*_ROW_TILE into the
 # halo-padded image); only the copy LENGTH carries the halo, so the
@@ -84,8 +87,15 @@ def _kernel(img_hbm, out_ref, scratch, sem, *, tile, wp, n, threshold,
         img_hbm.at[b, pl.ds(i * tile, rows), :], scratch, sem)
     dma.start()
     dma.wait()
-    # u8 -> i32 -> f32 (no direct u8->f32 cast in Mosaic); u8 exact in f32
-    p = scratch[:].astype(jnp.int32).astype(jnp.float32)   # (rows, wp)
+    # u8 -> i32 -> f32 -> BF16 (no direct u8 casts in Mosaic). The whole
+    # segment test is EXACT in bf16: every intermediate is an integer in
+    # [-256, 255] (8-bit significand holds integers to +-256 exactly;
+    # the only values past 255 are post-threshold negatives, where only
+    # the sign matters because relu clamps them to 0) — and bf16 packs
+    # 2/lane on the VPU, ~2x the window-tree throughput (the tree was
+    # ~75% of this kernel's 61 us/frame at f32, profiled 2026-08-20).
+    p = (scratch[:].astype(jnp.int32).astype(jnp.float32)
+         .astype(jnp.bfloat16))                            # (rows, wp)
 
     # Raw circle differences e[k] = circle[k] - p. The reference's
     # saturated u8 diffs relu(circle - min(p+t,255)) / relu(max(p-t,0) -
@@ -121,7 +131,10 @@ def _kernel(img_hbm, out_ref, scratch, sem, *, tile, wp, n, threshold,
             _fold(windows(e, jnp.minimum), jnp.maximum) - threshold, 0.0)
         sd = jnp.maximum(
             -_fold(windows(e, jnp.maximum), jnp.minimum) - threshold, 0.0)
-    s = jnp.maximum(sb, sd)
+    # bf16 ends here: Mosaic rejects bf16 COMPARISONS ("Target does not
+    # support this comparison", found on-chip 2026-08-20) — the NMS and
+    # interior-mask compares below run in f32 (a small share of the ops)
+    s = jnp.maximum(sb, sd).astype(jnp.float32)
 
     # interior mask in global image coordinates (3-px frame invalid,
     # fast_dete.cxx computes rows [3, h-3) only; padding likewise zeroed)
@@ -160,13 +173,10 @@ def fast_strengths_pallas(img: jax.Array, threshold: int = 20, n: int = 9,
     if squeeze:
         img = img[None]
     bsz, h, w = img.shape
-    # VMEM-adaptive row tile: the scheduler keeps ~30 f32 planes of
-    # (tile + 2*halo, wp) live through the two window trees (measured:
-    # 18.2 MB requested at 80x1920 — an OOM against the 16 MB scoped
-    # limit; 13.5 MB at 80x1408 compiles). Budget the computed rows so
-    # peak stays ~14 MB at any width.
+    # VMEM-adaptive row tile: ~121 B/element of live scan temps (see
+    # _ROW_TILE note); budget keeps peak ~14 MB at any width
     wp = -(-w // 128) * 128
-    tile = min(_ROW_TILE, max(8, (120_000 // wp - 2 * _HALO_R) // 8 * 8))
+    tile = min(_ROW_TILE, max(8, (115_000 // wp - 2 * _HALO_R) // 8 * 8))
     hp = -(-h // tile) * tile
     x = jnp.pad(img, ((0, 0), (_HALO_R, hp - h + _HALO_R),
                       (0, wp - w)))

@@ -37,7 +37,11 @@ from .dispatch import interpret_mode
 
 _BHI = 32          # sublane-padded hi-factor bins (23 used at HD)
 _BLO = 128
-_TT = 128          # thetas per grid step
+_TT = 128          # thetas per grid step — 128 is also the lane-tiling
+#                    minimum for the lo operand's (NC, _TT) blocks, so
+#                    the 180->256 theta padding (42% waste on that axis)
+#                    cannot be trimmed by shrinking this tile (tried 64,
+#                    Mosaic rejects the 64-lane block; 2026-08-20)
 _NC = 4096         # points per grid step
 _INVALID_HI = 64   # no match against sublane iota [0, _BHI)
 

@@ -26,10 +26,11 @@ _HALO_C = 128
 
 
 def _kernel(in_hbm, out_ref, scratch, sem, *, taps, tile, w_pad, is_erode):
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     rows = tile + 2 * _HALO_R
     dma = pltpu.make_async_copy(
-        in_hbm.at[pl.ds(i * tile, rows), :], scratch, sem)
+        in_hbm.at[b, pl.ds(i * tile, rows), :], scratch, sem)
     dma.start()
     dma.wait()
     x = scratch[:].astype(jnp.int32)
@@ -42,7 +43,7 @@ def _kernel(in_hbm, out_ref, scratch, sem, *, taps, tile, w_pad, is_erode):
         if dx:
             t = jnp.roll(t, -dx, axis=1)
         out = t if out is None else op(out, t)
-    out_ref[:] = out[_HALO_R:_HALO_R + tile,
+    out_ref[0] = out[_HALO_R:_HALO_R + tile,
                      _HALO_C:_HALO_C + w_pad].astype(jnp.uint8)
 
 
@@ -60,30 +61,54 @@ def _tile_for(n_taps: int, base: int) -> int:
 @functools.partial(jax.jit, static_argnames=("taps", "is_erode"))
 def _morph_pallas(img: jax.Array, taps: Tuple[Tuple[int, int], ...],
                   is_erode: bool) -> jax.Array:
-    h, w = img.shape
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    bsz, h, w = img.shape
     tile = _tile_for(len(taps), _ROW_TILE)
     hp = -(-h // tile) * tile
     w_pad = -(-w // 128) * 128
     # REPLICATE border (reference default); the extra alignment padding
     # also replicates, so rolled taps read clamped values
-    x = jnp.pad(img, ((_HALO_R, hp - h + _HALO_R),
+    x = jnp.pad(img, ((0, 0), (_HALO_R, hp - h + _HALO_R),
                       (_HALO_C, w_pad - w + _HALO_C)), mode="edge")
     kern = functools.partial(_kernel, taps=taps, tile=tile, w_pad=w_pad,
                              is_erode=is_erode)
     out = pl.pallas_call(
         kern,
-        grid=(hp // tile,),
+        grid=(bsz, hp // tile),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((tile, w_pad), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, tile, w_pad), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, w_pad), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, w_pad), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((tile + 2 * _HALO_R, w_pad + 2 * _HALO_C), img.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret_mode(),
     )(x)
-    return out[:h, :w]
+    out = out[:, :h, :w]
+    return out[0] if squeeze else out
+
+
+@functools.lru_cache(maxsize=None)
+def _morph_vmappable(taps, is_erode):
+    """jax.vmap routes to the natively-batched kernel (manual-DMA
+    pallas_calls have no automatic batching rule)."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def f(img):
+        return _morph_pallas(img, taps, is_erode)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, img):
+        lead = img.shape[:-2]
+        flat = img.reshape((-1,) + img.shape[-2:])
+        out = _morph_pallas(flat, taps, is_erode)
+        return out.reshape(lead + out.shape[-2:]), True
+
+    return f
 
 
 def morph_pallas(img: jax.Array, strel: np.ndarray,
@@ -93,7 +118,7 @@ def morph_pallas(img: jax.Array, strel: np.ndarray,
     ry, rx = hh // 2, ww // 2
     taps = tuple((dy - ry, dx - rx) for dy in range(hh) for dx in range(ww)
                  if strel[dy, dx])
-    return _morph_pallas(img, taps, is_erode)
+    return _morph_vmappable(taps, is_erode)(img)
 
 
 _HALO_R2 = 8       # fused kernel: minimal 8-row halo (covers 2r <= 8);
@@ -104,10 +129,11 @@ def _kernel2(in_hbm, out_ref, scratch, sem, *, taps, tile, w_pad,
              first_erode, ry, rx, h, w):
     """Fused open/close: first op over the halo'd tile, second op on the
     intermediate — one HBM read + one write for both passes."""
-    i = pl.program_id(0)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     rows = tile + 2 * _HALO_R2
     dma = pltpu.make_async_copy(
-        in_hbm.at[pl.ds(i * tile, rows), :], scratch, sem)
+        in_hbm.at[b, pl.ds(i * tile, rows), :], scratch, sem)
     dma.start()
     dma.wait()
     x = scratch[:].astype(jnp.int32)
@@ -148,7 +174,7 @@ def _kernel2(in_hbm, out_ref, scratch, sem, *, taps, tile, w_pad,
         if dx:
             t = jnp.roll(t, -dx, axis=1)
         out = t if out is None else op2(out, t)
-    out_ref[:] = out[_HALO_R2:_HALO_R2 + tile,
+    out_ref[0] = out[_HALO_R2:_HALO_R2 + tile,
                      _HALO_C:_HALO_C + w_pad].astype(jnp.uint8)
 
 
@@ -156,22 +182,25 @@ def _kernel2(in_hbm, out_ref, scratch, sem, *, taps, tile, w_pad,
                                              "ry", "rx"))
 def _morph2_pallas(img: jax.Array, taps: Tuple[Tuple[int, int], ...],
                    first_erode: bool, ry: int, rx: int) -> jax.Array:
-    h, w = img.shape
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    bsz, h, w = img.shape
     tile = _tile_for(2 * len(taps), _ROW_TILE)
     hp = -(-h // tile) * tile
     w_pad = -(-w // 128) * 128
-    x = jnp.pad(img, ((_HALO_R2, hp - h + _HALO_R2),
+    x = jnp.pad(img, ((0, 0), (_HALO_R2, hp - h + _HALO_R2),
                       (_HALO_C, w_pad - w + _HALO_C)), mode="edge")
     kern = functools.partial(_kernel2, taps=taps, tile=tile, w_pad=w_pad,
                              first_erode=first_erode, ry=ry, rx=rx,
                              h=h, w=w)
     out = pl.pallas_call(
         kern,
-        grid=(hp // tile,),
+        grid=(bsz, hp // tile),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((tile, w_pad), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, tile, w_pad), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hp, w_pad), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, w_pad), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((tile + 2 * _HALO_R2, w_pad + 2 * _HALO_C),
                        img.dtype),
@@ -179,7 +208,8 @@ def _morph2_pallas(img: jax.Array, taps: Tuple[Tuple[int, int], ...],
         ],
         interpret=interpret_mode(),
     )(x)
-    return out[:h, :w]
+    out = out[:, :h, :w]
+    return out[0] if squeeze else out
 
 
 def morph2_pallas(img: jax.Array, strel: np.ndarray,
@@ -195,4 +225,22 @@ def morph2_pallas(img: jax.Array, strel: np.ndarray,
     assert 2 * ry <= _HALO_R2 and 2 * rx <= _HALO_C, "strel exceeds halo"
     taps = tuple((dy - ry, dx - rx) for dy in range(hh) for dx in range(ww)
                  if strel[dy, dx])
-    return _morph2_pallas(img, taps, first_erode, ry, rx)
+    return _morph2_vmappable(taps, first_erode, ry, rx)(img)
+
+
+@functools.lru_cache(maxsize=None)
+def _morph2_vmappable(taps, first_erode, ry, rx):
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def f(img):
+        return _morph2_pallas(img, taps, first_erode, ry, rx)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, img):
+        lead = img.shape[:-2]
+        flat = img.reshape((-1,) + img.shape[-2:])
+        out = _morph2_pallas(flat, taps, first_erode, ry, rx)
+        return out.reshape(lead + out.shape[-2:]), True
+
+    return f

@@ -30,7 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dispatch import interpret_mode
 
-_CR = 64            # chunk rows (of 128 lanes) compacted per grid step
+_CR = 512           # chunk rows (of 128 lanes) compacted per grid step.
+# Bigger chunks shrink the sort that follows: each chunk's writes round
+# up to a 1024-element block, so slack = n_chunks blocks — at 64 rows the
+# 1122x1182 text map had 176 chunks (= 180k sentinel slack on a 262k
+# table, the round-4 ccl_extract sort's real size); at 512 rows it is 22.
 _LANES = 128
 
 

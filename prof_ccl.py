@@ -50,7 +50,11 @@ def main():
     MR = min(-(-int(n_runs * 1.25) // 32768) * 32768, 262144)
     print(f"workload: {n_runs} runs, {n_comp} components, max_runs={MR}")
 
-    stages = {}
+    class _P(dict):
+        def __setitem__(self, k, v):
+            print(f"[stage] {k:<28}{v:>9.4f} ms", flush=True)
+            super().__setitem__(k, v)
+    stages = _P()
     stages["label"] = bench(lambda x: ccl.label(x), text)
     stages["run_table(kern+sort)"] = bench(
         lambda l: ccl._sorted_run_table(l, MR)[:3], labels)

@@ -39,16 +39,26 @@ def main():
                                     jnp.arange(K, dtype=jnp.int32))
                 return o
             return run
-        r1, r2 = make(K1), make(K2)
-        float(r1(base, *extras)); float(r2(base, *extras))
-        b1 = b2 = 1e9
-        for t in range(trials):
-            t0 = time.perf_counter(); float(r1(base, *extras))
-            b1 = min(b1, time.perf_counter() - t0)
-            t0 = time.perf_counter(); float(r2(base, *extras))
-            b2 = min(b2, time.perf_counter() - t0)
-            if t < trials - 1:
-                time.sleep(0.5)
+        def tmin(r):
+            best = 1e9
+            for t in range(trials):
+                t0 = time.perf_counter()
+                float(r(base, *extras))
+                best = min(best, time.perf_counter() - t0)
+                if t < trials - 1:
+                    time.sleep(0.3)
+            return best
+
+        r1 = make(K1)
+        float(r1(base, *extras))
+        b1 = tmin(r1)
+        while True:     # grow K2 until the marginal window clears 12 ms
+            r2 = make(K2)
+            float(r2(base, *extras))
+            b2 = tmin(r2)
+            if (b2 - b1) * 1e3 >= 12.0 or K2 >= 4096:
+                break
+            K2 *= 4
         return (b2 - b1) / (K2 - K1) * 1e3
 
     kern = fast_strengths_vmappable(20, 9, True)
@@ -92,7 +102,11 @@ def main():
     from compv_tpu.kernels.fast_select import make_select_compact
     sc = make_select_compact(w, 2)
 
-    stages = {}
+    class _P(dict):
+        def __setitem__(self, k, v):
+            print(f"[stage] {k:<28}{v:>9.4f} ms", flush=True)
+            super().__setitem__(k, v)
+    stages = _P()
     stages["strengths+nms b1"] = bench(kern, img)
     stages["strengths+nms b8 /f"] = bench(kern, img8) / 8
     stages["pack+pool b8 /f"] = bench(

@@ -53,7 +53,11 @@ def main():
     diag = float(np.hypot(h, w))
     n_rho = int(2 * np.ceil(diag / 1.0)) + 1
     n_theta = 180
-    stages = {}
+    class _P(dict):
+        def __setitem__(self, k, v):
+            print(f"[stage] {k:<28}{v:>9.4f} ms", flush=True)
+            super().__setitem__(k, v)
+    stages = _P()
 
     # ---- SHT stages ----
     stages["sht full"] = bench(lambda e: sht.hough_lines_sht(e, cfg), edges)

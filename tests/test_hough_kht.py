@@ -1,4 +1,6 @@
 """Hough KHT tests."""
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -223,3 +225,29 @@ class TestPieceStatsRunsParity:
         r2 = sorted(zip(np.asarray(l2.rho)[:n2], np.asarray(l2.theta)[:n2]))
         for (ra, ta), (rb, tb) in zip(r1, r2):
             assert abs(ra - rb) <= 1.5 and abs(ta - tb) < 0.05, (r1, r2)
+
+
+class TestTileLabelKernel:
+    def test_pallas_matches_xla_loop(self):
+        """kernels/kht_label.py must reproduce the XLA fori_loop labels
+        bit-for-bit (same synchronous update, same iteration count)."""
+        from compv_tpu.features.hough_kht import _tile_local_label
+        rng = np.random.default_rng(11)
+        # width NOT a multiple of 128 tiles -> exercises lane padding
+        binary = jnp.asarray(
+            (rng.random((80, 208)) < 0.15).astype(np.uint8) * 255)
+        tile, ty, tx = 16, 5, 13
+        old = os.environ.get("COMPV_TPU_PALLAS")
+        os.environ["COMPV_TPU_PALLAS"] = "interpret"
+        try:
+            got = _tile_local_label(binary, tile, ty, tx, 15)
+        finally:
+            os.environ["COMPV_TPU_PALLAS"] = "0"
+        try:
+            want = _tile_local_label(binary, tile, ty, tx, 15)
+        finally:
+            if old is None:
+                os.environ.pop("COMPV_TPU_PALLAS", None)
+            else:
+                os.environ["COMPV_TPU_PALLAS"] = old
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
