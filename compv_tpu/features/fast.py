@@ -222,25 +222,19 @@ def _cutoff_select(strengths: jax.Array, k: int,
     # sort cuts exactly.
     from ..kernels.dispatch import pallas_enabled
     if pallas_enabled():
-        cap = k        # the kernel's tie cut is exact: total selected <= k
-        # selection mask, tie budgeting and ALL butterfly stages in one
-        # VMEM-resident Pallas pass (kernels/fast_select.py) — the XLA
-        # butterfly below re-reads/re-writes the key map per stage
-        # (~96 us/frame of HBM traffic at HD batch 8 vs ~17 fused)
-        from ..kernels.fast_select import make_select_compact
+        # selection mask, exact tie budgeting, flat compaction AND global
+        # placement in ONE VMEM pass (kernels/select_place.py) — the
+        # round-4 two-stage form (select kernel + XLA scatter/cummax/
+        # gather placement) cost 22 + 33 us/frame at HD batch 8; the
+        # final small sort restores the exact (strength, index) order
+        from ..kernels.select_place import make_select_place
         bounds = jnp.stack([strict_bound,
                             jnp.where(c > 1, eq_bound, strict_bound),
                             r]).astype(jnp.int32)
-        sc = make_select_compact(w, 2 if nms_spaced else 1)
-        ck, counts = sc(key_p, bounds)
-        # global placement as a second chunked VMEM butterfly
-        # (kernels/compact_place.py) — the XLA scatter/cummax/gather
-        # placement below was ~40 us/frame at k=2000 (round-5 profile);
-        # blocks are PAD-padded, the final sort restores exact order
-        from ..kernels.compact_place import make_place
-        hh2, ww2 = ck.shape
-        pk = make_place(_PAD_KEY, cap)
-        buf = pk(ck.reshape(hh2 * ww2 // 128, 128))
+        hh2, ww2 = key_p.shape
+        sp = make_select_place(_PAD_KEY, k, 2 if nms_spaced else 1, w,
+                               ww2 // 128, (1 << 22) - 1)
+        buf = sp(key_p.reshape(hh2 * ww2 // 128, 128), bounds)
         return jax.lax.sort(buf)[:k]
     else:
         row_tot = jnp.sum(eq.astype(jnp.int32), axis=1)

@@ -1,0 +1,252 @@
+"""Cutoff selection + global placement — single Pallas TPU kernel.
+
+The FAST/ccl/hough cutoff top-k postlude (features/fast.py
+`_cutoff_select`) previously ran as: select+row-compact kernel
+(fast_select.py, 22 us/frame) THEN either an XLA scatter/cummax/gather
+placement (~33 us) or a second placement kernel (compact_place.py,
+~45 us). This kernel does the whole postlude in ONE pass over the key
+map in flat (R, 128) layout: selection mask, exact global tie budgeting,
+flat-rank butterfly compaction, and DMA of the compacted blocks at a
+running SMEM offset. One HBM read + a cap-sized write; the caller's
+final small sort restores the exact (strength desc, index asc) order.
+
+Tie budgeting (bit-identical to lax.top_k): ties at the cutoff bin are
+kept iff their global rank BY FLAT INDEX is under the budget r. With a
+2x2 min-pooled key map (nms_spaced), flat-index order within a pooled
+row interleaves even/odd original rows, so ties are ranked with the
+packed even/odd parity prefix (see fast_select history: round-3 advisor
+finding); pooled rows are `rpp` consecutive layout rows here, so the
+parity prefixes are SEGMENTED scans with period rpp.
+
+Reference analogue: CompVInterestPoint::selectBest / nth_element
+(core/features/fast/compv_core_feature_fast_dete.cxx:418).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import custom_batching
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dispatch import interpret_mode
+
+_LANES = 128
+_CH_BUDGET = 1536    # max chunk rows (VMEM: ~10 live (CH,128) i32 planes)
+
+
+def _kernel(bounds, key_ref, out_hbm, nblk_out, scratch, acc, sem, *,
+            rows, pad_key, cap_blocks, spacing, orig_w, rpp, idx_mask):
+    b_ix = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        acc[0] = 0      # tie prefix across chunks
+        acc[1] = 0      # output block offset
+
+    sb = bounds[b_ix, 0]
+    eb = bounds[b_ix, 1]
+    r = bounds[b_ix, 2]
+    key = key_ref[0]                      # (rows, 128) i32
+    shape = key.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    rws = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    strict = key < sb
+    eq = (key >= sb) & (key < eb)
+
+    def lane_prefix(v):
+        """In-lane inclusive prefix sum (7 log-steps)."""
+        inc = v
+        d = 1
+        while d < _LANES:
+            inc = inc + jnp.where(cols >= d, jnp.roll(inc, d, axis=1), 0)
+            d <<= 1
+        return inc
+
+    def row_prefix(rt, guard=None):
+        """Cross-row inclusive prefix of row-broadcast totals; `guard`
+        (same-segment predicate maker) makes it segmented."""
+        inc = rt
+        d = 1
+        while d < rows:
+            take = rws >= d
+            if guard is not None:
+                take = take & guard(d)
+            inc = inc + jnp.where(take, jnp.roll(inc, d, axis=0), 0)
+            d <<= 1
+        return inc
+
+    # ---- exact global tie ranks (by flat index) ----------------------
+    if spacing == 1:
+        eqi = eq.astype(jnp.int32)
+        p_lane = lane_prefix(eqi)
+        rt = jnp.broadcast_to(p_lane[:, _LANES - 1:_LANES], shape)
+        inc_r = row_prefix(rt)
+        tie_rank = (inc_r - rt) + p_lane - eqi
+        chunk_ties = inc_r[rows - 1, 0]
+    else:
+        # pooled map: rank even-original-row ties (in layout order)
+        # before odd-row ties within each pooled row (= rpp layout rows;
+        # chunks are rpp-aligned so segments never straddle them)
+        idx = key & idx_mask
+        growf = (rws + c * rows).astype(jnp.float32)
+        prow = jnp.floor((growf + 0.5) * (1.0 / rpp)).astype(jnp.int32)
+        odd = idx >= (spacing * prow + 1) * orig_w
+        evi = (eq & ~odd).astype(jnp.int32)
+        odi = (eq & odd).astype(jnp.int32)
+        q = (evi << 16) | odi
+        p_lane = lane_prefix(q)
+        rt = jnp.broadcast_to(p_lane[:, _LANES - 1:_LANES], shape)
+
+        def sameseg(d):
+            return prow == jnp.roll(prow, d, axis=0)
+
+        inc_seg = row_prefix(rt, guard=sameseg)       # segmented incl.
+        # cross-CHUNK-row prefixes run UNPACKED: packed fields hold only
+        # ~2^16 and a chunk can carry up to rows*128 ties per parity
+        # (segmented quantities stay packed — bounded by rpp*128)
+        rte = rt >> 16
+        rto = rt & 0xFFFF
+        inc_full_e = row_prefix(rte)
+        inc_full_o = row_prefix(rto)
+        p_excl = (inc_seg - rt) + (p_lane - q)        # packed, in-seg
+        # pooled-row TOTAL evens: segment-final inc_seg broadcast back
+        # (inc_seg is nondecreasing within a segment -> reverse max-scan)
+        tmax = inc_seg
+        d = 1
+        while d < rpp:
+            cand = jnp.roll(tmax, -d, axis=0)
+            ok = (prow == jnp.roll(prow, -d, axis=0)) & (rws < rows - d)
+            tmax = jnp.maximum(tmax, jnp.where(ok, cand, 0))
+            d <<= 1
+        row_even = tmax >> 16
+        ev_ex = p_excl >> 16
+        od_ex = p_excl & 0xFFFF
+        parity_rank = jnp.where(odd, row_even + od_ex, ev_ex)
+        prev = ((inc_full_e - (inc_seg >> 16))        # earlier pooled rows
+                + (inc_full_o - (inc_seg & 0xFFFF)))
+        tie_rank = prev + parity_rank
+        chunk_ties = inc_full_e[rows - 1, 0] + inc_full_o[rows - 1, 0]
+
+    sel = strict | (eq & (acc[0] + tie_rank < r))
+    acc[0] = acc[0] + chunk_ties
+    y = jnp.where(sel, key, pad_key)
+
+    # ---- flat-rank butterfly compaction ------------------------------
+    vi = sel.astype(jnp.int32)
+    pv = lane_prefix(vi)
+    rtv = jnp.broadcast_to(pv[:, _LANES - 1:_LANES], shape)
+    incv = row_prefix(rtv)
+    rank = (incv - rtv) + pv - vi
+    count = incv[rows - 1, 0]
+
+    def flatroll(v, bb):
+        qq, mm = divmod(bb, _LANES)
+        if mm == 0:
+            return jnp.roll(v, -qq, axis=0) if qq else v
+        a = jnp.roll(v, -mm, axis=1)
+        lo = jnp.roll(a, -qq, axis=0) if qq else a
+        hi = jnp.roll(a, -(qq + 1), axis=0)
+        return jnp.where(cols < _LANES - mm, lo, hi)
+
+    lpos = rws * _LANES + cols
+    rsh = jnp.where(sel, lpos - rank, 0)
+    bb = 1
+    while bb < rows * _LANES:
+        cv = flatroll(y, bb)
+        cr = flatroll(rsh, bb)
+        move_in = (cv != pad_key) & ((cr & bb) != 0) & (
+            lpos + bb < rows * _LANES)
+        moved_out = (y != pad_key) & ((rsh & bb) != 0)
+        y = jnp.where(move_in, cv, jnp.where(moved_out, pad_key, y))
+        rsh = jnp.where(move_in, cr - bb, jnp.where(moved_out, 0, rsh))
+        bb <<= 1
+    scratch[:] = y
+
+    off = acc[1]
+    nb = jnp.minimum((count + 1023) // 1024, cap_blocks - off)
+    acc[1] = off + nb
+    max_blocks = min((rows * _LANES + 1023) // 1024, cap_blocks)
+    for k in range(max_blocks):
+        @pl.when(k < nb)
+        def _(k=k):
+            cp = pltpu.make_async_copy(
+                scratch.at[pl.ds(k * 8, 8), :],
+                out_hbm.at[b_ix, pl.ds((off + k) * 8, 8), :], sem)
+            cp.start()
+            cp.wait()
+    nblk_out[0] = jnp.zeros_like(nblk_out[0]) + acc[1]
+
+
+@functools.partial(jax.jit, static_argnames=("pad_key", "cap", "spacing",
+                                             "orig_w", "rpp", "idx_mask"))
+def _select_place_batched(key_f: jax.Array, bounds: jax.Array,
+                          pad_key: int, cap: int, spacing: int,
+                          orig_w: int, rpp: int, idx_mask: int):
+    bsz, r, _ = key_f.shape
+    align = 8 * rpp // _gcd(8, rpp)     # chunk row alignment: lcm(8, rpp)
+    ch = max((_CH_BUDGET // align) * align, align)
+    ch = min(ch, -(-r // align) * align)
+    nch = -(-r // ch)
+    if nch * ch != r:
+        key_f = jnp.pad(key_f, ((0, 0), (0, nch * ch - r), (0, 0)),
+                        constant_values=pad_key)
+    cap_blocks = -(-cap // 1024) + nch
+    kern = functools.partial(_kernel, rows=ch, pad_key=pad_key,
+                             cap_blocks=cap_blocks, spacing=spacing,
+                             orig_w=orig_w, rpp=rpp, idx_mask=idx_mask)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bsz, nch),
+        in_specs=[pl.BlockSpec((1, ch, _LANES), lambda b, c, *_: (b, c, 0))],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec((1, 8, _LANES), lambda b, c, *_: (b, 0, 0))],
+        scratch_shapes=[pltpu.VMEM((ch, _LANES), jnp.int32),
+                        pltpu.SMEM((2,), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+    )
+    out, nblk = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, cap_blocks * 8, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, 8, _LANES), jnp.int32),
+        ],
+        interpret=interpret_mode(),
+    )(bounds, key_f)
+    nb = nblk[:, 0, 0]
+    flat = out.reshape(bsz, cap_blocks * 1024)
+    pos = jnp.arange(cap_blocks * 1024, dtype=jnp.int32)[None, :]
+    return jnp.where(pos < nb[:, None] * 1024, flat, pad_key)
+
+
+def _gcd(a, b):
+    while b:
+        a, b = b, a % b
+    return a
+
+
+@functools.lru_cache(maxsize=None)
+def make_select_place(pad_key: int, cap: int, spacing: int, orig_w: int,
+                      rpp: int, idx_mask: int):
+    """Vmappable fused select+place for one geometry. Input: key map in
+    flat (R, 128) layout (R*128 elements in flat-index order; a pooled
+    row spans `rpp` consecutive layout rows) + bounds (3,) i32 [strict
+    bound, tie bound, tie budget]. Returns a (capb,) PAD-padded buffer
+    whose non-PAD entries are exactly the selected keys — callers sort
+    (they need (value, index) order anyway)."""
+
+    @custom_batching.custom_vmap
+    def select_place(key_f: jax.Array, bounds: jax.Array):
+        return _select_place_batched(key_f[None], bounds[None], pad_key,
+                                     cap, spacing, orig_w, rpp, idx_mask)[0]
+
+    @select_place.def_vmap
+    def _rule(axis_size, in_batched, key_f, bounds):
+        return _select_place_batched(key_f, bounds, pad_key, cap, spacing,
+                                     orig_w, rpp, idx_mask), True
+
+    return select_place

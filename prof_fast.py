@@ -98,9 +98,6 @@ def main():
                           r]).astype(jnp.int32)
 
     kp0 = jax.vmap(pack_pool)(s8)
-    bounds0 = jax.vmap(hist_bounds)(kp0)
-    from compv_tpu.kernels.fast_select import make_select_compact
-    sc = make_select_compact(w, 2)
 
     class _P(dict):
         def __setitem__(self, k, v):
@@ -113,9 +110,6 @@ def main():
         lambda s: jax.vmap(pack_pool)(s), s8) / 8
     stages["hist+bounds b8 /f"] = bench(
         lambda kp: jax.vmap(hist_bounds)(kp), kp0, roll_axis=2) / 8
-    stages["select kernel b8 /f"] = bench(
-        lambda kp, bd: jax.vmap(sc)(kp, bd), kp0, roll_axis=2,
-        extras=(bounds0,)) / 8
     stages["select+place b8 /f"] = bench(
         lambda s: jax.vmap(lambda m: F._cutoff_select(m, k_sel, True))(s),
         s8) / 8

@@ -1,5 +1,6 @@
-"""Parity tests for the fused FAST selection kernel (kernels/fast_select.py)
-against lax.top_k's exact tie semantics, interpret mode on CPU.
+"""Parity tests for the fused FAST selection+placement kernel
+(kernels/select_place.py) against lax.top_k's exact tie semantics,
+interpret mode on CPU.
 
 The hard case (round-3 advisor finding): under nms_spaced the key map is
 2x2 min-pooled, so one pooled row interleaves two original rows — a tie at
@@ -94,6 +95,13 @@ class TestSpacedTieCut:
         the tie prefix across sequential grid steps."""
         s = _spaced_tie_map(300, 96, n_ties=120, n_strict=30, seed=3)
         _assert_topk_parity(s, k=90, nms_spaced=True)
+
+    def test_multi_chunk_smem_carry(self):
+        """Flat layout exceeds one kernel chunk (1536 rows of 128) so
+        BOTH SMEM carries run: the cross-chunk tie prefix and the output
+        block offset."""
+        s = _spaced_tie_map(1600, 256, n_ties=200, n_strict=60, seed=6)
+        _assert_topk_parity(s, k=150, nms_spaced=True)
 
     @pytest.mark.parametrize("k", [5, 17, 40])
     def test_unpooled_ties(self, k):
