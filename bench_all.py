@@ -478,7 +478,8 @@ def main():
     poses_np[:, 3] = np.arange(P_BA) * 0.05
     uu = 700.0 * (pts_np[None, :, 0] - poses_np[:, 3:4]) \
         / pts_np[None, :, 2] + w / 2
-    vv = 700.0 * pts_np[None, :, 1] / pts_np[None, :, 2] + h / 2
+    vv = np.broadcast_to(
+        700.0 * pts_np[None, :, 1] / pts_np[None, :, 2] + h / 2, uu.shape)
     obs_uv_np = (np.stack([uu, vv], -1).reshape(O_BA, 2)
                  + rng.normal(0, 0.5, (O_BA, 2))).astype(np.float32)
     op_np = np.repeat(np.arange(P_BA, dtype=np.int32), L_BA)

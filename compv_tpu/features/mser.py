@@ -54,7 +54,12 @@ from . import ccl
 @dataclasses.dataclass(frozen=True)
 class MSERConfig:
     delta: int = 1              # stability window, in level steps
-    level_step: int = 8         # gray levels per threshold step
+    level_step: int = 8         # gray levels per threshold step.
+    # Default justification (measured 2026-08-20, 1122x1182 text):
+    # step 8 = 10.5 ms at >= 0.8 recall/IoU vs the LMSER oracle
+    # (tests/test_mser_fidelity.py); step 1 (exact, every threshold)
+    # = 47.6 ms at >= 0.9. Step 8 keeps a 2.6x win over the reference
+    # (27.1 ms) at the documented fidelity floor; set 1 for exactness.
     min_area: float = 0.0005    # fraction of image area
     max_area: float = 0.25
     max_variation: float = 0.5

@@ -187,6 +187,10 @@ def _select_place_batched(key_f: jax.Array, bounds: jax.Array,
                           pad_key: int, cap: int, spacing: int,
                           orig_w: int, rpp: int, idx_mask: int):
     bsz, r, _ = key_f.shape
+    # packed parity fields hold per-pooled-row counts: bounded by the
+    # pooled row width rpp*128, which must fit 16 bits (advisor round-4
+    # invariant, carried over from fast_select)
+    assert rpp * _LANES < (1 << 16), rpp
     align = 8 * rpp // _gcd(8, rpp)     # chunk row alignment: lcm(8, rpp)
     ch = max((_CH_BUDGET // align) * align, align)
     ch = min(ch, -(-r // align) * align)
