@@ -145,17 +145,16 @@ def _kernel(img_hbm, out_ref, scratch, sem, *, tile, wp, n, threshold,
     s = jnp.where(interior, s, 0)
 
     if nms:
-        # 3x3 NMS: ties suppress (fast_dete.cxx:773-815); column shifts
-        # shared across the three rows of the neighborhood
-        scol = {dx: (jnp.roll(s, -dx, axis=1) if dx else s)
-                for dx in (-1, 0, 1)}
-        nmax = None
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if (dy, dx) == (0, 0):
-                    continue
-                t = (jnp.roll(scol[dx], -dy, axis=0) if dy else scol[dx])
-                nmax = t if nmax is None else jnp.maximum(nmax, t)
+        # 3x3 NMS: ties suppress (fast_dete.cxx:773-815). SEPARABLE
+        # 8-neighbor max: horizontal row-triple max once, shifted up and
+        # down for the 6 off-row neighbors, plus the left/right pair —
+        # 4 rolls + 5 maxes vs the 8-roll/7-max direct form
+        sl = jnp.roll(s, 1, axis=1)
+        sr = jnp.roll(s, -1, axis=1)
+        r3 = jnp.maximum(jnp.maximum(sl, sr), s)
+        nmax = jnp.maximum(
+            jnp.maximum(jnp.roll(r3, 1, axis=0), jnp.roll(r3, -1, axis=0)),
+            jnp.maximum(sl, sr))
         s = jnp.where((s > 0) & (nmax < s), s, 0)
 
     # f32 -> i32 -> u8 (no direct f32->u8 cast in Mosaic)

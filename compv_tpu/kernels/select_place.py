@@ -34,7 +34,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .dispatch import interpret_mode
 
 _LANES = 128
-_CH_BUDGET = 1536    # max chunk rows (VMEM: ~10 live (CH,128) i32 planes)
+_CH_BUDGET = 2304    # max chunk rows (VMEM: ~10 live (CH,128) i32 planes
+#                      = ~11 MB at 2304; HD's pooled key map is exactly
+#                      2304 rows -> single chunk, 3-block output sort)
 
 
 def _kernel(bounds, key_ref, out_hbm, nblk_out, scratch, acc, sem, *,
@@ -198,7 +200,9 @@ def _select_place_batched(key_f: jax.Array, bounds: jax.Array,
     if nch * ch != r:
         key_f = jnp.pad(key_f, ((0, 0), (0, nch * ch - r), (0, 0)),
                         constant_values=pad_key)
-    cap_blocks = -(-cap // 1024) + nch
+    # block-rounding slack is one PARTIAL block per chunk, but the last
+    # chunk's partial block is already inside ceil(cap/1024)
+    cap_blocks = -(-cap // 1024) + nch - 1
     kern = functools.partial(_kernel, rows=ch, pad_key=pad_key,
                              cap_blocks=cap_blocks, spacing=spacing,
                              orig_w=orig_w, rpp=rpp, idx_mask=idx_mask)
