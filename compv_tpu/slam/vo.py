@@ -406,17 +406,31 @@ def _loop_scores(cur_bits, cur_n, hist_bits, hist_count, ratio: float):
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _loop_edge_compute(cur_bits, cur_uv, cur_n, hist, k, map_points, key,
-                       intr, config: "VOConfig"):
+def _loop_edge_compute(cur_bits, cur_uv, cur_n, hist, k, map_points,
+                       map_desc, map_count, key, intr, config: "VOConfig"):
     """Estimate the loop-closure pose: match current keyframe descriptors
     against historic keyframe k, look up the 3-D landmarks its keypoints
     observed, and PnP the current keypoints against them. Because those
     landmarks live in the SAME map/gauge as the trajectory, the resulting
     absolute pose carries consistent monocular scale — no separate scale
-    resolution step is needed (the VERDICT item 4 design)."""
+    resolution step is needed (the VERDICT item 4 design).
+
+    The initial descriptor-only PnP can scrape by on very few inliers
+    (XLA reduction-order drift shifts the RANSAC draw run to run; a
+    4-inlier loop edge applied at weight 10 WORSENED an almost-closed
+    trajectory — round-5 suite failure, pre-existing). So the edge is
+    HARDENED: guided re-observation of the whole map (wide radius) at
+    TWO seeds — the descriptor-PnP pose AND the historic keyframe's own
+    stored pose (for a true loop/relocalization the camera is physically
+    near that viewpoint) — each followed by a fresh PnP; the pose with
+    the most inliers wins. A bad descriptor-PnP seed can lock a
+    self-consistent but WRONG association (observed: 21 'inliers' 0.17
+    off); the keyframe-pose seed breaks that feedback because it is
+    independent of the descriptor matches."""
     old_bits = hist["bits"][k]
     old_lm = hist["lm"][k]
     old_n = hist["count"][k]
+    old_pose = hist["pose"][k]
     q = Descriptors(bits=cur_bits, count=cur_n)
     t = Descriptors(bits=old_bits, count=old_n)
     m = bruteforce.match(q, t, knn=2)
@@ -427,9 +441,33 @@ def _loop_edge_compute(cur_bits, cur_uv, cur_n, hist, k, map_points, key,
     lm_safe = jnp.maximum(lm, 0)
     good = _dedup_matches(good, lm_safe, m.distance[:, 0],
                           map_points.shape[0])
-    res = pnp.solve_pnp(key, map_points[lm_safe], cur_uv, intr,
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    res = pnp.solve_pnp(k1, map_points[lm_safe], cur_uv, intr,
                         valid_mask=good, config=config.ransac)
-    return res.pose, res.num_inliers
+
+    def harden(kk, seed_pose, radius):
+        cfg_r = dataclasses.replace(
+            config, reobs_radius_px=max(config.reobs_radius_px, radius))
+        obs_mask, obs_ti = _reobserve(seed_pose, map_points, map_desc,
+                                      map_count, cur_uv, cur_bits, cur_n,
+                                      intr, cfg_r)
+        return pnp.solve_pnp(kk, map_points[obs_ti], cur_uv, intr,
+                             valid_mask=obs_mask, config=config.ransac)
+
+    res2 = harden(k2, res.pose, 12.0)
+    # keyframe-pose seed runs coarse-to-fine: the revisit viewpoint can
+    # sit tens of px of parallax from the stored keyframe's
+    res3a = harden(k3, old_pose, 40.0)
+    res3 = harden(k4, res3a.pose, 12.0)
+    # return ALL branch poses: raw inlier count cannot arbitrate between
+    # a misassociated-but-self-consistent branch and the true one
+    # (repeated texture can give the wrong branch MORE inliers) — the
+    # caller applies its own prior (close_loop: plausibility vs the
+    # trajectory; relocalize: inlier count, it has no prior)
+    poses = jnp.stack([res.pose, res2.pose, res3a.pose, res3.pose])
+    ninls = jnp.stack([res.num_inliers, res2.num_inliers,
+                       res3a.num_inliers, res3.num_inliers])
+    return poses, ninls
 
 
 class VOMap(NamedTuple):
@@ -945,24 +983,59 @@ class VisualOdometry:
         old keyframe's landmarks (consistent monocular scale — the map IS
         the gauge), form the loop edge, and refine the whole trajectory
         with the pose graph. Returns True when a loop was closed."""
-        hit = self.detect_loop(min_matches, exclude_recent)
-        if hit is None:
+        if self._last_kf is None or self._hist is None or self._hist_n == 0:
             return False
-        fidx_old, _, k = hit
         kf_pose, kf_uv, kf_bits, kf_n, cur_idx = self._last_kf
-        pose_j, ninl = jax.device_get(_loop_edge_compute(
-            jnp.asarray(kf_bits), jnp.asarray(kf_uv, jnp.float32),
-            jnp.asarray(kf_n, jnp.int32), self._hist,
-            jnp.asarray(k, jnp.int32), self.map.points, self._split(),
-            self.intr, self.config))
-        if int(ninl) < min_inliers:
-            return False
+        scores, frames_h = jax.device_get((
+            _loop_scores(jnp.asarray(kf_bits),
+                         jnp.asarray(kf_n, jnp.int32),
+                         self._hist["bits"], self._hist["count"],
+                         self.config.match_ratio),
+            self._hist["frame"]))
+        cands = sorted(
+            ((int(scores[k]), int(frames_h[k]), k)
+             for k in range(self._hist_n)
+             if cur_idx - int(frames_h[k]) >= exclude_recent
+             and int(scores[k]) >= min_matches), reverse=True)
         from .camera import se3_relative
-        z = np.asarray(se3_relative(
-            jnp.asarray(self.trajectory[fidx_old]),
-            jnp.asarray(pose_j, jnp.float32)), np.float32)
-        return self.optimize_posegraph(
-            loop_edges=[(fidx_old, cur_idx, z, weight)], iters=iters)
+        centers = self.positions()
+        path = float(np.linalg.norm(np.diff(centers, axis=0), axis=1).sum())
+        # iterate the best few candidates: a candidate whose PnP edge is
+        # IMPLAUSIBLE (correction far beyond what odometry drift can be —
+        # a self-consistent misassociation; observed 0.32x-of-path) is
+        # rejected, a candidate that already AGREES with the trajectory
+        # within the edge's own noise closes the loop with no graph bend
+        # (bending would only inject the edge noise into a trajectory
+        # that is already loop-consistent), and a plausible disagreement
+        # triggers the pose-graph refinement.
+        for _, fidx_old, k in cands[:3]:
+            poses_j, ninls = jax.device_get(_loop_edge_compute(
+                jnp.asarray(kf_bits), jnp.asarray(kf_uv, jnp.float32),
+                jnp.asarray(kf_n, jnp.int32), self._hist,
+                jnp.asarray(k, jnp.int32), self.map.points, self.map.desc,
+                self.map.count, self._split(), self.intr, self.config))
+            order = np.argsort(np.asarray(ninls))[::-1]
+            for b in order:
+                pose_j, ninl = poses_j[b], int(ninls[b])
+                if ninl < min_inliers or not np.isfinite(pose_j).all():
+                    continue
+                z = np.asarray(se3_relative(
+                    jnp.asarray(self.trajectory[fidx_old]),
+                    jnp.asarray(pose_j, jnp.float32)), np.float32)
+                rel_cur = np.asarray(se3_relative(
+                    jnp.asarray(self.trajectory[fidx_old]),
+                    jnp.asarray(self.trajectory[cur_idx])), np.float32)
+                corr = z - rel_cur
+                ct = float(np.linalg.norm(corr[3:]))
+                cr = float(np.linalg.norm(corr[:3]))
+                if ct > 0.25 * path or cr > 0.5:
+                    continue      # misassociated branch — try the next
+                if ct < max(0.03 * path, 1e-3) and cr < 0.03:
+                    return True   # loop verified; already consistent
+                return self.optimize_posegraph(
+                    loop_edges=[(fidx_old, cur_idx, z, weight)],
+                    iters=iters)
+        return False
 
     def relocalize(self, img, min_matches: int = 25,
                    min_inliers: int = 15) -> bool:
@@ -999,10 +1072,13 @@ class VisualOdometry:
         for k in np.argsort(scores)[::-1][:3]:
             if scores[k] < min_matches:
                 break
-            pose_j, ninl = jax.device_get(_loop_edge_compute(
+            poses_j, ninls = jax.device_get(_loop_edge_compute(
                 bits_d, uv_d, n_d, self._hist,
                 jnp.asarray(int(k), jnp.int32), self.map.points,
+                self.map.desc, self.map.count,
                 self._split(), self.intr, self.config))
+            b = int(np.argmax(np.asarray(ninls)))
+            pose_j, ninl = poses_j[b], ninls[b]
             if int(ninl) < min_inliers or not np.isfinite(pose_j).all():
                 continue
             pose = np.asarray(pose_j, np.float32)
